@@ -1,0 +1,192 @@
+"""Multi-resolution hash-grid encoding (INGP), TPU-native.
+
+Replaces the gridencoder CUDA extension (gridencoder/src/gridencoder.cu:75-343
+and the table-layout math in gridencoder/grid.py:176-196).  The table layout,
+per-level scales, corner weighting and the xor-of-primes spatial hash are kept
+numerically identical so checkpoints and PSNR can be cross-validated; the
+execution strategy is completely different: per level a [N, 2^D] gather from
+one flat embedding table followed by a weighted sum, with gradients flowing
+through XLA's gather/scatter-add transpose instead of hand-written fp16
+atomics.
+
+Key exactness notes:
+  * per_level_scale S is derived from desired_resolution so that level
+    (L-1) hits desired_res: S = exp2(log2(desired/base)/(L-1)).
+  * scale_l = exp2(l*S)*H - 1, resolution_l = ceil(scale_l)+1.
+  * params_in_level = min(2^log2_hashmap_size, (res_l + 1)^D) rounded UP to a
+    multiple of 8 (grid.py:188-190) — this rounding is load-bearing for
+    checkpoint shape parity.
+  * dense (row-major) indexing is used while the per-dim stride still fits in
+    the level's table; otherwise the xor-prime hash {1, 2654435761, 805459861}
+    takes over, all in wrapping uint32 arithmetic.
+  * inputs outside [0,1]^D produce zeros for every level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+_U32 = np.uint64(0xFFFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    input_dim: int = 3
+    num_levels: int = 14
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int = 2048
+    gridtype: str = "hash"  # "hash" | "tiled"
+    align_corners: bool = False
+
+    @property
+    def per_level_scale(self) -> float:
+        if self.num_levels == 1:
+            return 1.0
+        return float(
+            np.exp2(
+                np.log2(self.desired_resolution / self.base_resolution)
+                / (self.num_levels - 1)
+            )
+        )
+
+    @property
+    def log2_per_level_scale(self) -> float:
+        return float(np.log2(self.per_level_scale))
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    def level_scale(self, level: int) -> float:
+        return float(
+            np.exp2(level * self.log2_per_level_scale) * self.base_resolution - 1.0
+        )
+
+    def level_resolution(self, level: int) -> int:
+        return int(np.ceil(self.level_scale(level))) + 1
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """Cumulative level offsets [L+1], int64 (grid.py:176-196)."""
+        offsets = [0]
+        offset = 0
+        max_params = 2**self.log2_hashmap_size
+        for lvl in range(self.num_levels):
+            res = int(np.ceil(self.base_resolution * self.per_level_scale**lvl))
+            n = min(
+                max_params,
+                (res if self.align_corners else res + 1) ** self.input_dim,
+            )
+            n = int(np.ceil(n / 8) * 8)
+            offset += n
+            offsets.append(offset)
+        return np.asarray(offsets, np.int64)
+
+    @property
+    def table_size(self) -> int:
+        return int(self.offsets[-1])
+
+
+def init_hash_table(rng, spec: HashGridSpec, dtype=jnp.float32):
+    """U(-1e-4, 1e-4) init, matching grid.py:200-202."""
+    return jax.random.uniform(
+        rng,
+        (spec.table_size, spec.level_dim),
+        minval=-1e-4,
+        maxval=1e-4,
+        dtype=dtype,
+    )
+
+
+def _level_corner_plan(spec: HashGridSpec, level: int):
+    """Static per-level indexing plan (resolution, strides, hash decision).
+
+    The CUDA kernel decides dense-vs-hash at runtime from a running stride;
+    resolutions are static here so the decision (and the uint32-wrapped
+    strides) are computed exactly in Python integers.
+    """
+    D = spec.input_dim
+    res = spec.level_resolution(level)
+    hashmap_size = int(spec.offsets[level + 1] - spec.offsets[level])
+    side = res if spec.align_corners else res + 1
+    strides = []
+    stride = 1
+    use_dim = []
+    for _ in range(D):
+        use_dim.append(stride <= hashmap_size)
+        strides.append(stride & int(_U32))
+        stride *= side
+    use_hash = spec.gridtype == "hash" and stride > hashmap_size
+    return res, hashmap_size, strides, use_dim, use_hash
+
+
+def _corner_indices(pos_grid, spec: HashGridSpec, level: int):
+    """pos_grid: [N, 2^D, D] uint32 corner coords -> [N, 2^D] table rows."""
+    _, hashmap_size, strides, use_dim, use_hash = _level_corner_plan(spec, level)
+    if use_hash:
+        h = jnp.zeros(pos_grid.shape[:-1], jnp.uint32)
+        for d in range(spec.input_dim):
+            h = h ^ (pos_grid[..., d] * jnp.uint32(_PRIMES[d] & int(_U32)))
+        index = h
+    else:
+        index = jnp.zeros(pos_grid.shape[:-1], jnp.uint32)
+        for d in range(spec.input_dim):
+            if use_dim[d]:
+                index = index + pos_grid[..., d] * jnp.uint32(strides[d])
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+def hash_encode(table, x01, spec: HashGridSpec):
+    """Encode points through all levels.
+
+    Args:
+      table: [table_size, level_dim] embeddings.
+      x01: [N, D] positions normalized to [0, 1] (callers map from
+           [-bound, bound]; see grid.py:207-211).
+      spec: HashGridSpec.
+
+    Returns:
+      [N, num_levels * level_dim]; zero rows for out-of-range inputs.
+    """
+    D = spec.input_dim
+    C = spec.level_dim
+    x01 = jnp.asarray(x01, jnp.float32)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
+    offsets = spec.offsets
+
+    # Corner offsets [2^D, D]: bit d of corner id selects +1 along dim d.
+    corner_bits = np.arange(2**D, dtype=np.uint32)
+    corner_off = np.stack([(corner_bits >> d) & 1 for d in range(D)], axis=-1)
+
+    outs = []
+    for level in range(spec.num_levels):
+        scale = spec.level_scale(level)
+        pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
+        base = jnp.floor(pos)
+        frac = pos - base  # [N, D]
+        base_u = base.astype(jnp.uint32)  # in-range inputs are non-negative
+
+        corners = base_u[:, None, :] + jnp.asarray(corner_off)  # [N, 2^D, D]
+        rows = _corner_indices(corners, spec, level) + jnp.int32(offsets[level])
+
+        # d-linear weights: prod over dims of (frac or 1-frac)
+        sel = jnp.asarray(corner_off, jnp.float32)  # [2^D, D]
+        w = jnp.prod(
+            sel[None] * frac[:, None, :] + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
+            axis=-1,
+        )  # [N, 2^D]
+
+        vals = jnp.take(table, rows, axis=0)  # [N, 2^D, C]
+        level_out = jnp.sum(vals * w[..., None].astype(vals.dtype), axis=1)  # [N, C]
+        outs.append(level_out)
+
+    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
+    return jnp.where(oob[:, None], jnp.zeros_like(out), out)
