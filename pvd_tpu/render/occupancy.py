@@ -1,0 +1,213 @@
+"""Occupancy-grid state and maintenance.
+
+TPU-native redesign of the reference's density grid machinery
+(distill_mutual/renderer.py:555-775):
+
+  * grids are row-major [CAS, H, H, H] (the reference is Morton-ordered to
+    match its bitfield kernel; row-major is gather-friendlier on TPU and the
+    Morton permutation only matters for checkpoint interop, see ops/morton).
+  * the uint8 bitfield becomes a bool grid (a packed uint32 view is derived
+    where kernels want it).
+  * "sample random occupied cells" (renderer.py:704-744) is done with an
+    inverse-CDF draw over the occupancy mask's cumsum instead of
+    nonzero()+randint, keeping shapes static.
+  * everything is jit-friendly; `full` (first-16-updates full sweep) is a
+    static flag chosen by the host trainer from iter_density.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pvd_tpu.config import RenderSpec
+
+
+@struct.dataclass
+class OccupancyState:
+    density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 marks untrained cells
+    bitfield: jnp.ndarray  # [CAS * H^3] bool, flat row-major
+    mean_density: jnp.ndarray  # scalar f32
+    iter_density: jnp.ndarray  # scalar i32
+    aabb_train: jnp.ndarray  # [6]
+    aabb_infer: jnp.ndarray  # [6]
+
+
+def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
+    H, C = rspec.grid_size, rspec.cascades
+    b = rspec.bound
+    aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+    return OccupancyState(
+        density_grid=jnp.zeros((C, H, H, H), jnp.float32),
+        bitfield=jnp.zeros((C * H * H * H,), bool),
+        mean_density=jnp.float32(0.0),
+        iter_density=jnp.int32(0),
+        aabb_train=aabb,
+        aabb_infer=aabb,
+    )
+
+
+def _cell_centers01(coords, H):
+    """Integer cell coords [N,3] -> centers in [-1, 1] (renderer.py:676)."""
+    return 2.0 * coords.astype(jnp.float32) / (H - 1) - 1.0
+
+
+def _cascade_bound(cas: int, bound: float) -> float:
+    return min(2.0**cas, bound)
+
+
+def update_density_grid(
+    state: OccupancyState,
+    density_fn: Callable,
+    rspec: RenderSpec,
+    rng,
+    full: bool,
+    decay: float = 0.95,
+) -> OccupancyState:
+    """One occupancy update (renderer.py:648-765).
+
+    density_fn(x [M,3]) -> sigma [M] (already includes the caller's params;
+    density_scale is applied here).
+    Full mode re-queries every cell; partial mode queries H^3/4 random cells
+    plus an equal number resampled from currently-occupied cells.
+    """
+    H, C = rspec.grid_size, rspec.cascades
+    grid = state.density_grid
+
+    def query_cells(coords, cas: int, key):
+        bound = _cascade_bound(cas, rspec.bound)
+        half = bound / H
+        xyz = _cell_centers01(coords, H) * (bound - half)
+        jitter = (jax.random.uniform(key, xyz.shape) * 2.0 - 1.0) * half
+        return density_fn(xyz + jitter) * rspec.density_scale
+
+    tmp = -jnp.ones_like(grid)
+    if full:
+        coords = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(H), jnp.arange(H), jnp.arange(H), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        for cas in range(C):
+            key = jax.random.fold_in(rng, cas)
+            sig = query_cells(coords, cas, key)
+            tmp = tmp.at[cas].set(sig.reshape(H, H, H))
+    else:
+        n = H * H * H // 4
+        for cas in range(C):
+            k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, cas), 3)
+            # uniform random cells
+            rand_coords = jax.random.randint(k1, (n, 3), 0, H)
+            # occupied-cell resample via inverse CDF over the occupancy mask
+            occ_mask = (grid[cas].reshape(-1) > 0).astype(jnp.float32)
+            cdf = jnp.cumsum(occ_mask)
+            total = cdf[-1]
+            u = jax.random.uniform(k2, (n,)) * jnp.maximum(total, 1.0)
+            occ_flat = jnp.searchsorted(cdf, u, side="left")
+            occ_flat = jnp.clip(occ_flat, 0, H * H * H - 1)
+            occ_coords = jnp.stack(
+                [occ_flat // (H * H), (occ_flat // H) % H, occ_flat % H], axis=-1
+            )
+            # when nothing is occupied yet, fall back to the random cells
+            occ_coords = jnp.where(total > 0, occ_coords, rand_coords)
+            coords = jnp.concatenate([rand_coords, occ_coords], axis=0)
+            sig = query_cells(coords, cas, k3)
+            flat_idx = (coords[:, 0] * H + coords[:, 1]) * H + coords[:, 2]
+            tmp_c = tmp[cas].reshape(-1).at[flat_idx].max(sig)
+            tmp = tmp.at[cas].set(tmp_c.reshape(H, H, H))
+
+    # EMA-max where both old and new are valid (renderer.py:752-756)
+    valid = (grid >= 0) & (tmp >= 0)
+    new_grid = jnp.where(valid, jnp.maximum(grid * decay, tmp), grid)
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+
+    thresh = jnp.minimum(mean_density, rspec.density_thresh)
+    bitfield = (new_grid > thresh).reshape(-1)
+
+    return state.replace(
+        density_grid=new_grid,
+        bitfield=bitfield,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+    )
+
+
+def mark_untrained_grid(
+    state: OccupancyState, poses, intrinsics, rspec: RenderSpec, chunk: int = 64
+) -> OccupancyState:
+    """Mark cells observed by no training camera as -1 (renderer.py:555-645).
+
+    poses: [B, 4, 4] c2w; intrinsics: (fx, fy, cx, cy).  A cell counts as
+    covered when its center is in front of a camera and inside its pinhole
+    frustum (with a half-voxel margin).
+    """
+    H, C = rspec.grid_size, rspec.cascades
+    fx, fy, cx, cy = (float(v) for v in intrinsics)
+    poses = jnp.asarray(poses, jnp.float32)
+
+    coords = jnp.stack(
+        jnp.meshgrid(jnp.arange(H), jnp.arange(H), jnp.arange(H), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    world01 = _cell_centers01(coords, H)  # [M, 3]
+
+    counts = []
+    for cas in range(C):
+        bound = _cascade_bound(cas, rspec.bound)
+        half = bound / H
+        pts = world01 * (bound - half)  # [M, 3]
+        covered = jnp.zeros((pts.shape[0],), jnp.int32)
+        B = poses.shape[0]
+        for head in range(0, B, chunk):
+            p = poses[head : head + chunk]
+            cam = pts[None, :, :] - p[:, None, :3, 3]  # [b, M, 3]
+            # world->cam with R^T; c2w rotation applied transposed
+            cam = jnp.einsum("bmk,bkj->bmj", cam, p[:, :3, :3])
+            mz = cam[..., 2] > 0
+            mx = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+            my = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+            covered = covered + jnp.sum(mz & mx & my, axis=0)
+        counts.append(covered.reshape(H, H, H))
+    count = jnp.stack(counts)
+    new_grid = jnp.where(count == 0, -1.0, state.density_grid)
+    return state.replace(density_grid=new_grid)
+
+
+def reset_state(state: OccupancyState) -> OccupancyState:
+    """reset_extra_state (renderer.py:127-137)."""
+    return state.replace(
+        density_grid=jnp.zeros_like(state.density_grid),
+        bitfield=jnp.zeros_like(state.bitfield),
+        mean_density=jnp.float32(0.0),
+        iter_density=jnp.int32(0),
+    )
+
+
+def to_morton_order(grid):
+    """Row-major [CAS,H,H,H] -> reference Morton-flat [CAS, H^3] (ckpt io)."""
+    from pvd_tpu.ops.morton import morton3d_invert
+
+    C = grid.shape[0]
+    H = grid.shape[1]
+    codes = jnp.arange(H * H * H, dtype=jnp.uint32)
+    xyz = morton3d_invert(codes)  # morton index -> cell coord
+    flat = (xyz[:, 0] * H + xyz[:, 1]) * H + xyz[:, 2]
+    return grid.reshape(C, -1)[:, flat]
+
+
+def from_morton_order(grid_m, H: int):
+    """Reference Morton-flat [CAS, H^3] -> row-major [CAS,H,H,H]."""
+    from pvd_tpu.ops.morton import morton3d
+
+    C = grid_m.shape[0]
+    coords = jnp.stack(
+        jnp.meshgrid(jnp.arange(H), jnp.arange(H), jnp.arange(H), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    codes = morton3d(coords).astype(jnp.int32)
+    return grid_m[:, codes].reshape(C, H, H, H)

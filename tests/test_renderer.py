@@ -1,0 +1,207 @@
+"""Renderer tests: marching vs a sequential DDA oracle, compositing paths."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pvd_tpu.config import ModelSpec, RenderSpec
+from pvd_tpu.models import init_field
+from pvd_tpu.ops.aabb import near_far_from_aabb
+from pvd_tpu.render import (
+    init_occupancy_state,
+    march_rays,
+    render_rays,
+    render_stratified,
+)
+from pvd_tpu.render.renderer import sample_positions
+
+SQRT3 = math.sqrt(3.0)
+
+
+def oracle_march(o, d, near, far, bitfield3d, H, bound, max_steps, s_max):
+    """Sequential transcription of occupancy-DDA semantics for one ray
+    (dt_gamma=0): evaluate every lattice point, keep occupied ones."""
+    dt = 2 * SQRT3 / max_steps
+    ts = []
+    t = near
+    while t < far and len(ts) < s_max:
+        p = np.clip(o + t * d, -bound, bound)
+        n = np.clip((0.5 * (p / min(1.0, bound) + 1) * H).astype(int), 0, H - 1)
+        if bitfield3d[n[0], n[1], n[2]]:
+            ts.append(t)
+        t += dt
+        if (t - near) / dt > max_steps:
+            break
+    return np.array(ts)
+
+
+def _spec(grid=32, steps=128, s_max=32):
+    return RenderSpec(
+        bound=1.0, grid_size=grid, max_steps=steps, max_samples=s_max,
+        density_thresh=0.01,
+    )
+
+
+def test_march_matches_oracle_full_grid():
+    rspec = _spec()
+    H = rspec.grid_size
+    rng = np.random.default_rng(0)
+    # random occupancy (~30%)
+    bf3 = rng.uniform(size=(H, H, H)) < 0.3
+    bitfield = jnp.asarray(bf3.reshape(-1))
+
+    N = 24
+    o = rng.uniform(-0.2, 0.2, (N, 3)).astype(np.float32)
+    o[:, 2] = -2.5
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 2.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+    samples = march_rays(bitfield, jnp.asarray(o), jnp.asarray(d),
+                         nears, fars, rspec)
+
+    t_np = np.asarray(samples.t)
+    m_np = np.asarray(samples.mask)
+    for n in range(N):
+        want = oracle_march(
+            o[n], d[n], float(nears[n]), float(fars[n]), bf3, H,
+            rspec.bound, rspec.max_steps, rspec.max_samples,
+        )
+        got = t_np[n][m_np[n]]
+        assert len(got) == len(want), f"ray {n}: {len(got)} vs {len(want)}"
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_march_empty_grid_gives_no_samples():
+    rspec = _spec()
+    H = rspec.grid_size
+    bitfield = jnp.zeros((H * H * H,), bool)
+    o = jnp.array([[0.0, 0, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0]])
+    nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+    s = march_rays(bitfield, o, d, nears, fars, rspec)
+    assert not bool(jnp.any(s.mask))
+
+
+def test_march_missed_ray_gives_no_samples():
+    rspec = _spec()
+    H = rspec.grid_size
+    bitfield = jnp.ones((H * H * H,), bool)
+    o = jnp.array([[0.0, 5.0, -2.0]])  # misses the box
+    d = jnp.array([[0.0, 0, 1.0]])
+    nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+    s = march_rays(bitfield, o, d, nears, fars, rspec)
+    assert not bool(jnp.any(s.mask))
+
+
+def test_delta_depth_accumulates_to_travel_distance():
+    rspec = _spec()
+    H = rspec.grid_size
+    bitfield = jnp.ones((H * H * H,), bool)  # fully occupied
+    o = jnp.array([[0.0, 0, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0]])
+    nears, fars = near_far_from_aabb(o, d, jnp.array([-1.0, -1, -1, 1, 1, 1]))
+    s = march_rays(bitfield, o, d, nears, fars, rspec)
+    # cumulative delta_depth at sample i == t_i + dt_i - t0
+    cum = np.cumsum(np.asarray(s.delta_depth[0]))
+    m = np.asarray(s.mask[0])
+    t = np.asarray(s.t[0])
+    dt = np.asarray(s.dt[0])
+    np.testing.assert_allclose(
+        cum[m], (t + dt - float(s.t0[0]))[m], atol=1e-5
+    )
+
+
+def _tiny_model():
+    spec = ModelSpec(model_type="hash", hash_num_levels=4, hash_desired_res=64)
+    params = init_field(jax.random.PRNGKey(0), spec)
+    return spec, params
+
+
+def test_render_rays_shapes_and_bg():
+    spec, params = _tiny_model()
+    rspec = _spec()
+    occ = init_occupancy_state(rspec)
+    # everything occupied so rays do get samples
+    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 3)).astype(np.float32) +
+                    np.array([0, 0, -2.0], np.float32))
+    d = jnp.asarray(np.tile(np.array([0, 0, 1.0], np.float32), (8, 1)))
+
+    out = jax.jit(
+        lambda p, o_, d_: render_rays(
+            p, spec, rspec, occ, o_, d_, training=True, bg_color=1.0
+        )
+    )(params, o, d)
+    assert out["image"].shape == (8, 3)
+    assert out["depth"].shape == (8,)
+    img = np.asarray(out["image"])
+    assert np.all(np.isfinite(img))
+    # fresh random net has tiny sigma -> mostly background (white)
+    ws = np.asarray(out["weights_sum"])
+    np.testing.assert_allclose(img, 1.0 - ws[:, None] * (1 - img), atol=1.0)
+
+
+def test_render_rays_inherited_samples_align():
+    """Teacher replaying student samples sees identical sample positions."""
+    spec, params = _tiny_model()
+    spec2 = ModelSpec(model_type="mlp", nerf_layer_num=4, nerf_layer_wide=32,
+                      pe_multires=4, skip=1)
+    params2 = init_field(jax.random.PRNGKey(3), spec2)
+    rspec = _spec()
+    occ = init_occupancy_state(rspec)
+    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    o = jnp.array([[0.0, 0, -2.0], [0.1, 0, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
+
+    out_stu = render_rays(params, spec, rspec, occ, o, d, training=True)
+    out_tea = render_rays(
+        params2, spec2, rspec, occ, o, d, training=True,
+        inherited=out_stu["samples"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_stu["samples"].t), np.asarray(out_tea["samples"].t)
+    )
+    assert out_stu["fea_sc"].shape == out_tea["fea_sc"].shape
+    assert out_stu["sigma_logit"].shape == out_tea["sigma_logit"].shape
+
+
+def test_render_stratified_runs_and_matches_grid_path_roughly():
+    """With a fully-occupied grid and a dense lattice the two paths see the
+    same field; images should agree to a few 1e-2 (different sampling)."""
+    spec, params = _tiny_model()
+    rspec = RenderSpec(bound=1.0, grid_size=32, max_steps=256, max_samples=256,
+                       num_steps=256)
+    occ = init_occupancy_state(rspec)
+    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    o = jnp.array([[0.0, 0, -2.0], [0.05, 0.05, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
+
+    out_g = render_rays(params, spec, rspec, occ, o, d, training=False)
+    out_s = render_stratified(params, spec, rspec, occ.aabb_infer, o, d)
+    np.testing.assert_allclose(
+        np.asarray(out_g["image"]), np.asarray(out_s["image"]), atol=0.05
+    )
+
+
+def test_stage_gated_outputs():
+    spec, params = _tiny_model()
+    rspec = _spec()
+    occ = init_occupancy_state(rspec)
+    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    o = jnp.array([[0.0, 0, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0]])
+    # stage 1: features only
+    out1 = render_rays(params, spec, rspec, occ, o, d, training=True,
+                       want_color=False)
+    assert "image" not in out1 and out1["rgb_l"] is None
+    assert out1["fea_sc"] is not None
+    # stage 2: point colors, no image
+    out2 = render_rays(params, spec, rspec, occ, o, d, training=True,
+                       composite=False)
+    assert "image" not in out2 and out2["rgb_l"] is not None
