@@ -155,6 +155,7 @@ class PVDConfig:
     ema_decay: float = -1.0
     ckpt_teacher: str = ""
     ckpt_student: str = ""
+    update_stu_extra: bool = False  # refresh student occupancy in distill
     # TPU-specific
     max_samples: int = 96  # padded per-ray sample budget (see RenderSpec)
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices

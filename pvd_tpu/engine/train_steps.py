@@ -1,0 +1,303 @@
+"""Jitted training-step builders (teacher + distillation) and helpers.
+
+Teacher step = reference Trainer.train_step (just_train_tea/utils.py:746-846):
+sample pixels on device, composite GT against a per-pixel random background
+when the image has alpha, render with perturbed marching, MSE (+ VM L1 reg).
+
+Distill step = distill_mutual/utils.py:954-1189: student renders first with
+its own occupancy grid; the teacher replays the student's exact samples under
+stop_gradient; the 3-stage loss aligns features, then point sigma/color
+logits, then rendered RGB — with the feature-loss rate decaying 0.995^step.
+
+Everything here is a pure function of (state, batch, rng) so the whole step
+jits once per stage and runs on-device end to end (the reference's per-step
+host work — loss.item(), step counters — has no equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pvd_tpu.config import ModelSpec, PVDConfig, RenderSpec
+from pvd_tpu.models import field_density, vm_density_l1
+from pvd_tpu.ops.rays import get_rays
+from pvd_tpu.render import update_density_grid
+from pvd_tpu.render.occupancy import OccupancyState
+from pvd_tpu.render.renderer import render_rays
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    occ: OccupancyState
+    step: jnp.ndarray  # scalar i32
+    ema_params: Optional[Any] = None
+
+
+def masked_loss(pred, gt, mask, loss_type: str):
+    """Point losses over valid (unpadded) samples only.
+
+    The reference computes these over ragged valid points
+    (distill_mutual/utils.py:941-952 get_loss); here padded slots are
+    excluded by the mask.  pred/gt: [..., C] or [...]; mask broadcastable.
+    """
+    diff = pred - gt
+    if diff.ndim > mask.ndim:
+        mask = mask[..., None]
+    m = mask.astype(diff.dtype)
+    diff = diff * m
+    n_valid = jnp.maximum(jnp.sum(jnp.broadcast_to(m, diff.shape)), 1.0)
+    if loss_type == "L2":
+        return jnp.sum(diff**2) / n_valid
+    if loss_type == "normL2":
+        return jnp.sqrt(jnp.sum(diff**2) + 1e-12)
+    if loss_type == "normL1":
+        return jnp.sum(jnp.abs(diff))
+    if loss_type == "smoothL1":
+        beta = 0.05
+        a = jnp.abs(diff)
+        v = jnp.where(a < beta, 0.5 * a * a / beta, a - 0.5 * beta)
+        return jnp.sum(v) / n_valid
+    raise ValueError(f"unknown loss_type {loss_type}")
+
+
+def rgb_loss(pred, gt, loss_type: str):
+    if loss_type == "L2":
+        return jnp.mean((pred - gt) ** 2)
+    if loss_type == "normL2":
+        return jnp.sqrt(jnp.sum((pred - gt) ** 2) + 1e-12)
+    if loss_type == "normL1":
+        return jnp.sum(jnp.abs(pred - gt))
+    if loss_type == "smoothL1":
+        beta = 0.05
+        a = jnp.abs(pred - gt)
+        return jnp.mean(jnp.where(a < beta, 0.5 * a * a / beta, a - 0.5 * beta))
+    raise ValueError(f"unknown loss_type {loss_type}")
+
+
+def make_teacher_step(
+    spec: ModelSpec,
+    rspec: RenderSpec,
+    opt: optax.GradientTransformation,
+    cfg: PVDConfig,
+    intrinsics,
+    H: int,
+    W: int,
+    image_channels: int,
+    ema_decay: float = -1.0,
+):
+    """Returns jitted step(state, pose [4,4], image_flat [H*W, C], key)."""
+    intr = tuple(float(v) for v in intrinsics)
+
+    def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
+        out = render_rays(
+            params, spec, rspec, occ, rays_o, rays_d, training=True,
+            bg_color=bg, perturb_key=key,
+        )
+        loss = rgb_loss(out["image"], gt, cfg.loss_type)
+        if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
+            loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
+        return loss, out
+
+    @jax.jit
+    def step(state: TrainState, pose, image_flat, key):
+        k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+        rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays)
+        o, d = rays["rays_o"][0], rays["rays_d"][0]
+        pix = image_flat[rays["inds"][0]]  # [N, C]
+
+        if image_channels == 4 and spec.bg_radius <= 0:
+            bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
+            gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
+        else:
+            bg = 1.0
+            gt = pix[..., :3]
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.occ, o, d, gt, bg, k_perturb
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            from pvd_tpu.engine.optim import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+        }
+        return (
+            state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1,
+                ema_params=ema,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_distill_step(
+    spec_stu: ModelSpec,
+    spec_tea: ModelSpec,
+    rspec: RenderSpec,
+    opt: optax.GradientTransformation,
+    cfg: PVDConfig,
+    intrinsics,
+    H: int,
+    W: int,
+    stage: int,
+    ema_decay: float = -1.0,
+):
+    """Returns jitted step(state, params_tea, occ_tea, pose, key) for one
+    distillation stage (1: features, 2: +point sigma/color, 3: +RGB).
+
+    Stage-1 is disabled upstream (by the CLI) when either side is 'tensors'
+    (main_distill_mutual.py:243-246); both sides of stage 1/2 share the
+    student's marched samples so point tensors are shape-aligned.
+    """
+    assert stage in (1, 2, 3)
+    intr = tuple(float(v) for v in intrinsics)
+    both_have_fea = "tensors" not in (spec_stu.model_type, spec_tea.model_type)
+    want_color = stage >= 2
+    composite = stage == 3
+
+    def loss_fn(params_stu, params_tea, occ, occ_tea, o, d, bg, key, step):
+        out_s = render_rays(
+            params_stu, spec_stu, rspec, occ, o, d, training=True,
+            bg_color=bg, perturb_key=key, want_color=want_color,
+            composite=composite,
+        )
+        out_t = render_rays(
+            params_tea, spec_tea, rspec, occ_tea, o, d, training=True,
+            bg_color=bg, want_color=want_color, composite=composite,
+            inherited=out_s["samples"],
+        )
+        out_t = jax.lax.stop_gradient(out_t)
+        mask = out_s["samples"].mask
+
+        # feature-loss rate decays x0.995 per step (utils.py:41-42, 1044)
+        rate_fea = cfg.loss_rate_fea_sc * 0.995 ** step.astype(jnp.float32)
+
+        loss = 0.0
+        logs = {}
+        if both_have_fea:
+            l_fea = masked_loss(out_s["fea_sc"], out_t["fea_sc"], mask,
+                                cfg.loss_type)
+            loss = loss + rate_fea * l_fea
+            logs["loss_fea_sc"] = l_fea
+        else:
+            logs["loss_fea_sc"] = jnp.float32(0.0)
+
+        if stage >= 2:
+            l_sigma = masked_loss(out_s["sigma_logit"], out_t["sigma_logit"],
+                                  mask, cfg.loss_type)
+            l_color = masked_loss(out_s["rgb_l"], out_t["rgb_l"], mask,
+                                  cfg.loss_type)
+            loss = loss + cfg.loss_rate_sigma * l_sigma
+            loss = loss + cfg.loss_rate_color * l_color
+            logs["loss_sigma"] = l_sigma
+            logs["loss_color"] = l_color
+
+        if stage == 3:
+            l_rgb = rgb_loss(out_s["image"], out_t["image"], cfg.loss_type)
+            loss = loss + cfg.loss_rate_rgb * l_rgb
+            if spec_stu.model_type == "vm" and cfg.l1_reg_weight > 0:
+                loss = loss + cfg.l1_reg_weight * vm_density_l1(params_stu)
+            logs["loss_rgb"] = l_rgb
+            logs["psnr"] = -10.0 * jnp.log10(
+                jnp.mean((out_s["image"] - out_t["image"]) ** 2) + 1e-12
+            )
+
+        logs["loss"] = loss
+        return loss, logs
+
+    @jax.jit
+    def step_fn(state: TrainState, params_tea, occ_tea, pose, key):
+        k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+        rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays)
+        o, d = rays["rays_o"][0], rays["rays_d"][0]
+        # synthetic data always has alpha -> random background per step
+        bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, params_tea, state.occ, occ_tea, o, d, bg,
+            k_perturb, state.step,
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            from pvd_tpu.engine.optim import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
+        return (
+            state.replace(
+                params=params, opt_state=opt_state, step=state.step + 1,
+                ema_params=ema,
+            ),
+            logs,
+        )
+
+    return step_fn
+
+
+def make_occ_update(spec: ModelSpec, rspec: RenderSpec):
+    """Jitted occupancy-grid refresh (renderer.py:648-775)."""
+
+    @partial(jax.jit, static_argnames=("full",))
+    def occ_update(occ: OccupancyState, params, key, full: bool):
+        def dens(x):
+            return field_density(params, spec, x, occ.aabb_train)
+
+        return update_density_grid(occ, dens, rspec, key, full=full)
+
+    return occ_update
+
+
+def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
+    """Chunked full-image inference renderer (reference render staged path,
+    renderer.py:777-814 + the alive-ray inference loop it replaces)."""
+
+    @jax.jit
+    def render_chunk(params, occ, o, d):
+        out = render_rays(
+            params, spec, rspec, occ, o, d, training=False, bg_color=1.0,
+            early_stop=True,
+        )
+        return out["image"], out["depth"]
+
+    def render_image(params, occ, pose, intrinsics, H, W):
+        import numpy as np
+
+        rays = get_rays(
+            jax.random.PRNGKey(0), jnp.asarray(pose)[None], intrinsics, H, W, -1
+        )
+        o = rays["rays_o"][0]
+        d = rays["rays_d"][0]
+        n = o.shape[0]
+        imgs, deps = [], []
+        for head in range(0, n, chunk):
+            tail = min(head + chunk, n)
+            o_c, d_c = o[head:tail], d[head:tail]
+            pad = chunk - (tail - head)
+            if pad:
+                o_c = jnp.pad(o_c, ((0, pad), (0, 0)))
+                d_c = jnp.pad(d_c, ((0, pad), (0, 0)), constant_values=1.0)
+            img, dep = render_chunk(params, occ, o_c, d_c)
+            imgs.append(np.asarray(img[: tail - head]))
+            deps.append(np.asarray(dep[: tail - head]))
+        img = np.concatenate(imgs).reshape(H, W, 3)
+        dep = np.concatenate(deps).reshape(H, W)
+        return img, dep
+
+    return render_image

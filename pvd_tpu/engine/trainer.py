@@ -1,0 +1,379 @@
+"""Host-side training orchestrator.
+
+One Trainer covers both pipelines (the reference maintains two ~90%-identical
+Trainer classes, just_train_tea/utils.py:366-1259 and
+distill_mutual/utils.py:532-1725; here the mode is a flag and the jitted
+steps differ):
+
+  mode='teacher': train one architecture against real images
+    (mark_untrained_grid -> epoch loop -> occupancy refresh every
+    update_extra_interval steps -> AdamW step -> optional VM shrink/upsample
+    at scheduled iterations -> checkpoint -> final eval).
+  mode='distill': teacher frozen, student warm-started from the teacher's
+    shared MLP heads; per-epoch fresh random poses; 3-stage loss schedule.
+
+All hot work is jitted and device-resident; the host loop only sequences
+steps, swaps stage step-functions at stage boundaries, and does occasional
+occupancy refreshes and checkpoint I/O.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pvd_tpu.config import PVDConfig
+from pvd_tpu.data.poses import get_rand_poses
+from pvd_tpu.engine import checkpoint as ckpt
+from pvd_tpu.engine.optim import (
+    build_optimizer,
+    cosine_schedule,
+    exp_decay_schedule,
+)
+from pvd_tpu.engine.train_steps import (
+    TrainState,
+    make_distill_step,
+    make_eval_renderer,
+    make_occ_update,
+    make_teacher_step,
+)
+from pvd_tpu.models import init_field
+from pvd_tpu.models.api import param_group_label, trainable_label
+from pvd_tpu.models.vm_field import shrink_params, upsample_params
+from pvd_tpu.render import init_occupancy_state, mark_untrained_grid
+from pvd_tpu.utils import PSNRMeter, compute_ssim
+from pvd_tpu.utils.metrics import lpips_available, rgb_lpips
+
+
+class Trainer:
+    def __init__(self, cfg: PVDConfig, mode: str = "teacher",
+                 name: Optional[str] = None):
+        assert mode in ("teacher", "distill")
+        self.cfg = cfg
+        self.mode = mode
+        self.rspec = cfg.render_spec()
+        self.spec_stu = cfg.model_spec(cfg.model_type)
+        self.spec_tea = cfg.model_spec(cfg.teacher_type)
+        self.name = name or (
+            cfg.model_type if mode == "teacher"
+            else f"{cfg.teacher_type}2{cfg.model_type}"
+        )
+        self.workspace = cfg.workspace
+        os.makedirs(self.workspace, exist_ok=True)
+        self._log_file = os.path.join(self.workspace, f"log_{self.name}.txt")
+
+        key = jax.random.PRNGKey(cfg.seed)
+        k_stu, k_tea = jax.random.split(key)
+        params_stu = init_field(k_stu, self.spec_stu)
+        self.params_tea = init_field(k_tea, self.spec_tea) if mode == "distill" else None
+        self.occ_tea = init_occupancy_state(self.rspec) if mode == "distill" else None
+
+        # learning-rate plumbing (reference main_*.py optimizer blocks)
+        base_lr = cfg.lr * (0.1 if cfg.model_type == "mlp" else 1.0)
+        if mode == "teacher":
+            lr2 = base_lr * 0.1  # get_params(opt.lr, opt.lr*0.1)
+            sched = lambda lr0: exp_decay_schedule(lr0, cfg.iters)
+        else:
+            lr2 = 1e-3  # distill calls get_params(opt.lr): lr2 default
+            sched = lambda lr0: cosine_schedule(lr0, cfg.iters)
+        self.opt = build_optimizer(
+            params_stu,
+            label_fn=param_group_label(self.spec_stu),
+            trainable_fn=trainable_label(
+                self.spec_stu, cfg.distill_mode if mode == "distill" else ""
+            ),
+            schedule_main=sched(base_lr),
+            schedule_lr2=sched(lr2),
+        )
+        ema = (
+            jax.tree_util.tree_map(jnp.array, params_stu)
+            if cfg.ema_decay > 0 else None
+        )
+        self.state = TrainState(
+            params=params_stu,
+            opt_state=self.opt.init(params_stu),
+            occ=init_occupancy_state(self.rspec),
+            step=jnp.int32(0),
+            ema_params=ema,
+        )
+        self.vm_resolution = tuple(self.spec_stu.vm_resolution)
+        self.upsample_resolutions: list = []
+        self.upsample_steps: list = list(cfg.upsample_model_steps)
+
+        self._occ_update = make_occ_update(self.spec_stu, self.rspec)
+        self._eval_render = make_eval_renderer(
+            self.spec_stu, self.rspec, chunk=cfg.max_ray_batch
+        )
+        self._eval_render_tea = (
+            make_eval_renderer(self.spec_tea, self.rspec, chunk=cfg.max_ray_batch)
+            if mode == "distill" else None
+        )
+        self._steps = {}
+        self.stats = {}
+
+    # ------------------------------------------------------------------
+    def log(self, msg: str):
+        print(msg, flush=True)
+        with open(self._log_file, "a") as f:
+            f.write(msg + "\n")
+
+    # ------------------------------------------------------------------
+    def load_teacher(self, path: str):
+        """Load a teacher checkpoint; warm-start the student from its MLP
+        heads and inherit its occupancy grid (utils.py:1477-1559)."""
+        payload = ckpt.load_checkpoint(path)
+        self.params_tea = payload["params"]
+        self.occ_tea = payload["occ"]
+        self.state = self.state.replace(
+            params=ckpt.warm_start_student(self.state.params, self.params_tea),
+            occ=payload["occ"],
+        )
+        self.state = self.state.replace(
+            opt_state=self.opt.init(self.state.params)
+        )
+        self.log(f"[load_teacher] {path} (step {payload['step']})")
+
+    def load_student(self, path: str):
+        payload = ckpt.load_checkpoint(path)
+        self.state = self.state.replace(
+            params=payload["params"],
+            occ=payload["occ"],
+            step=jnp.int32(payload["step"]),
+            opt_state=self.opt.init(payload["params"]),
+        )
+        self.log(f"[load_student] {path} (step {payload['step']})")
+
+    def save(self, stats: Optional[dict] = None) -> str:
+        return ckpt.save_checkpoint(
+            os.path.join(self.workspace, "checkpoints"),
+            self.name,
+            int(self.state.step),
+            self.state.params,
+            self.state.occ,
+            ema_params=self.state.ema_params,
+            stats=stats or self.stats,
+            config_json=self.cfg.to_json(),
+        )
+
+    def try_resume(self) -> bool:
+        path = ckpt.latest_checkpoint(
+            os.path.join(self.workspace, "checkpoints"), self.name
+        )
+        if path:
+            self.load_student(path)
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _stage_of(self, step: int) -> int:
+        if self.mode != "distill":
+            return 3
+        if step < self.cfg.stage1_iters:
+            return 1
+        if step < self.cfg.stage2_iters:
+            return 2
+        return 3
+
+    def _get_step_fn(self, stage: int, H: int, W: int, C: int, intr):
+        key = (stage, H, W, C)
+        if key not in self._steps:
+            if self.mode == "teacher":
+                self._steps[key] = make_teacher_step(
+                    self.spec_stu, self.rspec, self.opt, self.cfg, intr, H, W,
+                    image_channels=C, ema_decay=self.cfg.ema_decay,
+                )
+            else:
+                self._steps[key] = make_distill_step(
+                    self.spec_stu, self.spec_tea, self.rspec, self.opt,
+                    self.cfg, intr, H, W, stage=stage,
+                    ema_decay=self.cfg.ema_decay,
+                )
+        return self._steps[key]
+
+    def _maybe_update_occ(self, key):
+        step = int(self.state.step)
+        if step % self.cfg.update_extra_interval == 0:
+            full = int(self.state.occ.iter_density) < 16
+            self.state = self.state.replace(
+                occ=self._occ_update(self.state.occ, self.state.params, key, full)
+            )
+
+    def _maybe_vm_resize(self):
+        """Scheduled shrink+upsample for VM students (utils.py:682-704)."""
+        if self.spec_stu.model_type != "vm" or not self.upsample_steps:
+            return
+        step = int(self.state.step)
+        if step not in self.upsample_steps:
+            return
+        i = self.upsample_steps.index(step)
+        target = self.upsample_resolutions[i] if i < len(
+            self.upsample_resolutions) else None
+
+        # shrink to the occupied bounding box (network.py:589-643)
+        occ = self.state.occ
+        H = self.rspec.grid_size
+        bound = self.rspec.bound
+        half = bound / H
+        grid = np.asarray(occ.density_grid)[-1]
+        thresh = min(self.cfg.density_thresh, float(occ.mean_density))
+        idx = np.argwhere(grid > thresh)
+        if len(idx) > 0:
+            pos = (2.0 * idx / (H - 1) - 1.0) * (bound - half)
+            new_aabb = np.concatenate([pos.min(0) - half, pos.max(0) + half])
+            old_aabb = np.asarray(occ.aabb_train)
+            params, tl, br = shrink_params(
+                self.state.params, old_aabb, new_aabb, self.vm_resolution
+            )
+            self.vm_resolution = tuple(int(b - t) for t, b in zip(tl, br))
+            self.state = self.state.replace(
+                params=params,
+                occ=occ.replace(aabb_train=jnp.asarray(new_aabb, jnp.float32)),
+            )
+            self.log(f"[vm shrink] aabb -> {new_aabb.tolist()} "
+                     f"res -> {self.vm_resolution}")
+        if target is not None:
+            params = upsample_params(self.state.params, (target,) * 3)
+            self.vm_resolution = (target,) * 3
+            self.state = self.state.replace(params=params)
+            self.log(f"[vm upsample] res -> {self.vm_resolution}")
+        # parameter shapes changed: rebuild optimizer state
+        self.state = self.state.replace(
+            opt_state=self.opt.init(self.state.params)
+        )
+
+    # ------------------------------------------------------------------
+    def train(self, train_ds, valid_ds=None, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        total = max_steps or cfg.iters
+        H, W = train_ds.H, train_ds.W
+        intr = train_ds.intrinsics
+        rng_np = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+
+        if self.mode == "teacher":
+            self.state = self.state.replace(
+                occ=mark_untrained_grid(
+                    self.state.occ, train_ds.poses, intr, self.rspec
+                )
+            )
+            images = jnp.asarray(train_ds.images_flat())
+            C = int(images.shape[-1])
+            poses = jnp.asarray(train_ds.poses)
+        else:
+            C = 4
+            poses = jnp.asarray(
+                get_rand_poses(rng_np, cfg.data_type, train_ds.poses)
+            )
+
+        t_start = time.time()
+        epoch_len = len(poses)
+        while int(self.state.step) < total:
+            step = int(self.state.step)
+            # fresh random poses per epoch for distillation (utils.py:723-735)
+            if self.mode == "distill" and step > 0 and step % epoch_len == 0:
+                poses = jnp.asarray(
+                    get_rand_poses(rng_np, cfg.data_type, train_ds.poses)
+                )
+                epoch_len = len(poses)
+
+            key, k_occ, k_step = jax.random.split(key, 3)
+            # teacher mode always refreshes its grid; distill students keep
+            # the teacher-inherited grid unless update_stu_extra is set
+            # (distill_mutual/utils.py:790-794, default off)
+            if self.mode == "teacher" or cfg.update_stu_extra:
+                self._maybe_update_occ(k_occ)
+
+            idx = int(rng_np.integers(0, len(poses)))
+            stage = self._stage_of(step)
+            step_fn = self._get_step_fn(stage, H, W, C, intr)
+            if self.mode == "teacher":
+                self.state, metrics = step_fn(
+                    self.state, poses[idx], images[idx], k_step
+                )
+            else:
+                self.state, metrics = step_fn(
+                    self.state, self.params_tea, self.occ_tea, poses[idx],
+                    k_step,
+                )
+            self._maybe_vm_resize()
+
+            if step % 100 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                self.log(
+                    f"[{self.name}] step {step}/{total} stage{stage} {msg} "
+                    f"({(time.time()-t_start):.1f}s)"
+                )
+
+        self.save()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, ds, use_teacher: bool = False, save_dir: Optional[str] = None,
+                 write_video: bool = False):
+        """Full-image eval: PSNR/SSIM(/LPIPS), PNG + depth artifacts
+        (distill_mutual/utils.py:1193-1368)."""
+        import cv2
+
+        if use_teacher:
+            params, occ, render = self.params_tea, self.occ_tea, self._eval_render_tea
+        else:
+            params = (
+                self.state.ema_params
+                if self.state.ema_params is not None else self.state.params
+            )
+            occ, render = self.state.occ, self._eval_render
+
+        meter = PSNRMeter()
+        ssims, lp_a, lp_v = [], [], []
+        frames, depth_frames = [], []
+        save_dir = save_dir or os.path.join(self.workspace, "results")
+        os.makedirs(save_dir, exist_ok=True)
+
+        for i in range(len(ds)):
+            img, dep = render(params, occ, ds.poses[i], ds.intrinsics, ds.H, ds.W)
+            if ds.images is not None:
+                gt = ds.images[i]
+                if gt.shape[-1] == 4:
+                    gt = gt[..., :3] * gt[..., 3:] + (1.0 - gt[..., 3:])
+                meter.update(img, gt)
+                ssims.append(compute_ssim(img, gt))
+                if lpips_available():
+                    lp_a.append(rgb_lpips(img, gt, "alex"))
+                    lp_v.append(rgb_lpips(img, gt, "vgg"))
+            u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            d8 = (np.clip(dep, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(save_dir, f"{self.name}_{i:04d}.png"),
+                        u8[..., ::-1])
+            cv2.imwrite(os.path.join(save_dir, f"{self.name}_{i:04d}_depth.png"), d8)
+            frames.append(u8)
+            depth_frames.append(d8)
+
+        if write_video and frames:
+            try:
+                import imageio
+
+                imageio.mimwrite(
+                    os.path.join(save_dir, f"{self.name}_video.mp4"),
+                    np.stack(frames), fps=21, quality=8,
+                )
+                imageio.mimwrite(
+                    os.path.join(save_dir, f"{self.name}_video_depth.mp4"),
+                    np.stack(depth_frames), fps=21, quality=8,
+                )
+            except Exception as e:  # codec availability varies
+                self.log(f"[evaluate] video write skipped: {e}")
+
+        self.stats = {
+            "psnr": meter.measure(),
+            "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "lpips_alex": float(np.mean(lp_a)) if lp_a else None,
+            "lpips_vgg": float(np.mean(lp_v)) if lp_v else None,
+        }
+        self.log(f"[evaluate:{self.name}] {self.stats}")
+        return self.stats

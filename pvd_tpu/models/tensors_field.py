@@ -21,10 +21,14 @@ from pvd_tpu.ops.sh import sh_encode
 
 
 def init(rng, spec: ModelSpec, s: float = 0.02):
-    """Gaussian init, std 0.02 (main_just_train_tea via network.py:184-191)."""
+    """Gaussian init, std 0.02 (main_just_train_tea via network.py:184-191).
+
+    Layout is channels-minor [D, H, W, C] (the torch reference uses
+    [1, C, D, H, W]); feature channels stay lane-contiguous for row gathers.
+    """
     res = spec.plenoxel_res
     vol = s * jax.random.normal(
-        rng, (spec.plenoxel_fea_dim, res[0], res[1], res[2]), jnp.float32
+        rng, (res[0], res[1], res[2], spec.plenoxel_fea_dim), jnp.float32
     )
     return {"volume": vol}
 
@@ -35,8 +39,8 @@ def _normalize(x, aabb):
 
 def _query(params, xn):
     # world (x, y, z) index volume dims (W, H, D) = (res[2], res[1], res[0]),
-    # matching torch grid_sample's coordinate order on the [C, D, H, W] volume
-    return grid_sample_3d(params["volume"], xn).T  # [N, C]
+    # matching torch grid_sample's coordinate order on the reference volume
+    return grid_sample_3d(params["volume"], xn)  # [N, C]
 
 
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):
@@ -65,5 +69,5 @@ def edit_erase_region(params, region=((None, None), (160, None), (None, 128)),
     (deletes the lego bucket; network.py:313-316). region indexes (D, H, W)."""
     vol = params["volume"]
     (d0, d1), (h0, h1), (w0, w1) = region
-    sl = (0, slice(d0, d1), slice(h0, h1), slice(w0, w1))
+    sl = (slice(d0, d1), slice(h0, h1), slice(w0, w1), 0)
     return {**params, "volume": vol.at[sl].set(value)}

@@ -6,9 +6,11 @@ the shared color_net (network.py:73-90, 193-309).  Plane/line queries are
 linear grid samples (align_corners=True, zero padding); gradients are XLA
 scatter-adds via autodiff.
 
-Axis convention (kept from init_one_vm, network.py:193-214):
-  plane i stores dims mat_ids[i] = ([0,1],[0,2],[1,2]) laid out as
-  [R, res[mat_id_1], res[mat_id_0]]; line i stores dim vec_ids[i] = (2,1,0).
+Axis convention (kept from init_one_vm, network.py:193-214) with a
+TPU-friendly channels-minor layout: plane i covers dims
+mat_ids[i] = ([0,1],[0,2],[1,2]) stored as [res[mat_id_1], res[mat_id_0], R];
+line i covers dim vec_ids[i] = (2,1,0) stored as [res[vec_id], R].
+Rank channels stay lane-contiguous so every corner fetch is a row gather.
 Coordinates are the normalized x in [-1,1] after the aabb mapping
 (network.py:341-346).
 
@@ -46,10 +48,10 @@ def init(rng, spec: ModelSpec, scale: float = 0.1):
             m0, m1 = MAT_IDS[i]
             v = VEC_IDS[i]
             params[f"{prefix}_mat"].append(
-                scale * jax.random.normal(ks[ki], (rank, res[m1], res[m0]))
+                scale * jax.random.normal(ks[ki], (res[m1], res[m0], rank))
             )
             params[f"{prefix}_vec"].append(
-                scale * jax.random.normal(ks[ki + 1], (rank, res[v]))
+                scale * jax.random.normal(ks[ki + 1], (res[v], rank))
             )
             ki += 2
     params["basis_mat"] = init_linear(
@@ -72,15 +74,15 @@ def _normalize(x, aabb):
 
 
 def _plane_line_feats(mats: List, vecs: List, xn):
-    """Per-branch [R_i, N] plane*line products, stop-gradient coords."""
+    """Per-branch [N, R_i] plane*line products, stop-gradient coords."""
     xn = jax.lax.stop_gradient(xn)
     feats = []
     for i in range(3):
         m0, m1 = MAT_IDS[i]
         v = VEC_IDS[i]
         plane_coords = jnp.stack([xn[:, m0], xn[:, m1]], axis=-1)  # (x->W, y->H)
-        mf = grid_sample_2d(mats[i], plane_coords)  # [R, N]
-        vf = grid_sample_1d(vecs[i], xn[:, v])  # [R, N]
+        mf = grid_sample_2d(mats[i], plane_coords)  # [N, R]
+        vf = grid_sample_1d(vecs[i], xn[:, v])  # [N, R]
         feats.append(mf * vf)
     return feats
 
@@ -88,13 +90,13 @@ def _plane_line_feats(mats: List, vecs: List, xn):
 def sigma_feat(params, xn):
     """[N] raw sigma feature: sum over ranks and branches."""
     feats = _plane_line_feats(params["sigma_mat"], params["sigma_vec"], xn)
-    return sum(jnp.sum(f, axis=0) for f in feats)
+    return sum(jnp.sum(f, axis=-1) for f in feats)
 
 
 def color_feat(params, spec: ModelSpec, xn):
     """[N, geo_feat_dim] via the basis matrix over concatenated products."""
     feats = _plane_line_feats(params["color_mat"], params["color_vec"], xn)
-    stacked = jnp.concatenate(feats, axis=0).T  # [N, 3*R_color]
+    stacked = jnp.concatenate(feats, axis=-1)  # [N, 3*R_color]
     return stacked @ params["basis_mat"]["w"]
 
 
@@ -135,8 +137,8 @@ def density_l1(params):
 
 
 def _linear_resize_2d(arr: np.ndarray, new_hw: Tuple[int, int]) -> np.ndarray:
-    """Bilinear align_corners=True resize of [R, H, W] (host numpy)."""
-    R, H, W = arr.shape
+    """Bilinear align_corners=True resize of [H, W, R] (host numpy)."""
+    H, W, R = arr.shape
     nh, nw = new_hw
 
     def axis_positions(n_old, n_new):
@@ -150,20 +152,20 @@ def _linear_resize_2d(arr: np.ndarray, new_hw: Tuple[int, int]) -> np.ndarray:
     fx, x0 = axis_positions(W, nw)
     y1 = np.minimum(y0 + 1, H - 1)
     x1 = np.minimum(x0 + 1, W - 1)
-    a = arr[:, y0][:, :, x0]
-    b = arr[:, y0][:, :, x1]
-    c = arr[:, y1][:, :, x0]
-    d = arr[:, y1][:, :, x1]
-    wy = fy[None, :, None]
-    wx = fx[None, None, :]
+    a = arr[y0][:, x0]
+    b = arr[y0][:, x1]
+    c = arr[y1][:, x0]
+    d = arr[y1][:, x1]
+    wy = fy[:, None, None]
+    wx = fx[None, :, None]
     return (
         a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
     ).astype(arr.dtype)
 
 
 def _linear_resize_1d(arr: np.ndarray, new_l: int) -> np.ndarray:
-    """Linear align_corners=True resize of [R, L]."""
-    return _linear_resize_2d(arr[:, :, None], (new_l, 1))[:, :, 0]
+    """Linear align_corners=True resize of [L, R]."""
+    return _linear_resize_2d(arr[:, None, :], (new_l, 1))[:, 0, :]
 
 
 def upsample_params(params, resolution: Tuple[int, int, int]):
@@ -217,8 +219,8 @@ def shrink_params(params, aabb: np.ndarray, new_aabb: np.ndarray,
         for i in range(3):
             m0, m1 = MAT_IDS[i]
             v = VEC_IDS[i]
-            mats.append(params[f"{prefix}_mat"][i][:, tl[m1]:br[m1], tl[m0]:br[m0]])
-            vecs.append(params[f"{prefix}_vec"][i][:, tl[v]:br[v]])
+            mats.append(params[f"{prefix}_mat"][i][tl[m1]:br[m1], tl[m0]:br[m0], :])
+            vecs.append(params[f"{prefix}_vec"][i][tl[v]:br[v], :])
         out[f"{prefix}_mat"] = mats
         out[f"{prefix}_vec"] = vecs
     return out, tl, br

@@ -6,9 +6,10 @@ a slab test with a `min_near` floor, where misses map both near and far to
 FLT_MAX so downstream sampling produces zero valid samples for those rays.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
-FLT_MAX = jnp.float32(3.402823466e38)
+FLT_MAX = np.float32(3.402823466e38)  # plain constant: no backend init at import
 
 
 def near_far_from_aabb(rays_o, rays_d, aabb, min_near=0.2):

@@ -3,13 +3,16 @@
 TPU-native replacement for the reference's use of torch.nn.functional
 .grid_sample in the TensoRF-VM plane/line feature queries
 (distill_mutual/network.py:216-309) and the Plenoxels volume query
-(network.py:311-322).  Coordinates follow the same convention: values in
-[-1, 1], with the LAST coordinate channel indexing the FIRST spatial axis
-of a 3D volume (x -> W, y -> H, z -> D).  Out-of-range points receive zero
-contributions (padding_mode='zeros').
+(network.py:311-322).  Coordinate convention matches torch grid_sample:
+values in [-1, 1], with coordinate channel 0 (x) indexing the FASTEST
+spatial axis.  Out-of-range points receive zero contributions
+(padding_mode='zeros').
 
-Implemented as gathers + weighted sums; XLA differentiates the gathers into
-scatter-adds, which replaces torch's grid_sample backward.
+Layout is channels-minor ([L, C], [H, W, C], [D, H, W, C]) and every corner
+fetch is a ROW gather from the flattened spatial axis — channels stay
+lane-contiguous, which is what the TPU gather path wants.  Gradients are
+XLA gather transposes (scatter-adds); hot backward paths get custom
+treatments in the model layer.
 """
 
 import jax.numpy as jnp
@@ -21,8 +24,8 @@ def _unnormalize(coord, size):
 
 
 def grid_sample_1d(line, coords):
-    """line: [C, L]; coords: [N] in [-1, 1]. Returns [C, N]."""
-    L = line.shape[1]
+    """line: [L, C]; coords: [N] in [-1, 1]. Returns [N, C]."""
+    L = line.shape[0]
     p = _unnormalize(jnp.asarray(coords, jnp.float32), L)
     i0 = jnp.floor(p).astype(jnp.int32)
     frac = p - i0
@@ -30,20 +33,20 @@ def grid_sample_1d(line, coords):
     for di, w in ((0, 1.0 - frac), (1, frac)):
         idx = i0 + di
         ok = ((idx >= 0) & (idx <= L - 1)).astype(line.dtype)
-        idx_c = jnp.clip(idx, 0, L - 1)
-        out = out + line[:, idx_c] * (w * ok)[None, :]
+        rows = jnp.take(line, jnp.clip(idx, 0, L - 1), axis=0)  # [N, C]
+        out = out + rows * (w * ok)[:, None]
     return out
 
 
 def grid_sample_2d(plane, coords):
-    """plane: [C, H, W]; coords: [N, 2] = (x, y), x->W, y->H. Returns [C, N]."""
-    C, H, W = plane.shape
+    """plane: [H, W, C]; coords: [N, 2] = (x, y), x->W, y->H. Returns [N, C]."""
+    H, W, C = plane.shape
+    flat = plane.reshape(H * W, C)
     px = _unnormalize(jnp.asarray(coords[..., 0], jnp.float32), W)
     py = _unnormalize(jnp.asarray(coords[..., 1], jnp.float32), H)
     x0 = jnp.floor(px).astype(jnp.int32)
     y0 = jnp.floor(py).astype(jnp.int32)
     fx, fy = px - x0, py - y0
-    flat = plane.reshape(C, H * W)
     out = 0.0
     for dy, wy in ((0, 1.0 - fy), (1, fy)):
         iy = y0 + dy
@@ -54,16 +57,18 @@ def grid_sample_2d(plane, coords):
             okx = (ix >= 0) & (ix <= W - 1)
             ix_c = jnp.clip(ix, 0, W - 1)
             w = wy * wx * (oky & okx).astype(flat.dtype)
-            out = out + flat[:, iy_c * W + ix_c] * w[None, :]
+            rows = jnp.take(flat, iy_c * W + ix_c, axis=0)  # [N, C]
+            out = out + rows * w[:, None]
     return out
 
 
 def grid_sample_3d(volume, coords):
-    """volume: [C, D, H, W]; coords: [N, 3] = (x, y, z), x->W, y->H, z->D.
+    """volume: [D, H, W, C]; coords: [N, 3] = (x, y, z), x->W, y->H, z->D.
 
-    Returns [C, N].
+    Returns [N, C].
     """
-    C, D, H, W = volume.shape
+    D, H, W, C = volume.shape
+    flat = volume.reshape(D * H * W, C)
     px = _unnormalize(jnp.asarray(coords[..., 0], jnp.float32), W)
     py = _unnormalize(jnp.asarray(coords[..., 1], jnp.float32), H)
     pz = _unnormalize(jnp.asarray(coords[..., 2], jnp.float32), D)
@@ -71,7 +76,6 @@ def grid_sample_3d(volume, coords):
     y0 = jnp.floor(py).astype(jnp.int32)
     z0 = jnp.floor(pz).astype(jnp.int32)
     fx, fy, fz = px - x0, py - y0, pz - z0
-    flat = volume.reshape(C, D * H * W)
     out = 0.0
     for dz, wz in ((0, 1.0 - fz), (1, fz)):
         iz = z0 + dz
@@ -86,5 +90,6 @@ def grid_sample_3d(volume, coords):
                 okx = (ix >= 0) & (ix <= W - 1)
                 ix_c = jnp.clip(ix, 0, W - 1)
                 w = wz * wy * wx * (okz & oky & okx).astype(flat.dtype)
-                out = out + flat[:, (iz_c * H + iy_c) * W + ix_c] * w[None, :]
+                rows = jnp.take(flat, (iz_c * H + iy_c) * W + ix_c, axis=0)
+                out = out + rows * w[:, None]
     return out

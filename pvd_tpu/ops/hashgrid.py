@@ -110,8 +110,14 @@ def _level_corner_plan(spec: HashGridSpec, level: int):
     """Static per-level indexing plan (resolution, strides, hash decision).
 
     The CUDA kernel decides dense-vs-hash at runtime from a running stride;
-    resolutions are static here so the decision (and the uint32-wrapped
-    strides) are computed exactly in Python integers.
+    resolutions are static here so the decision (and the wrapped strides)
+    are computed exactly in Python integers.  Notes that make the device
+    arithmetic cheap:
+      * dense levels never need the final modulo — the row-major index is
+        < side^D <= level size by construction;
+      * hashed levels always have size exactly 2^log2_hashmap_size (the cap
+        was hit), so the modulo is a power-of-two AND;
+      * the xor-prime hash wraps mod 2^32, which int32 ops do natively.
     """
     D = spec.input_dim
     res = spec.level_resolution(level)
@@ -125,23 +131,35 @@ def _level_corner_plan(spec: HashGridSpec, level: int):
         strides.append(stride & int(_U32))
         stride *= side
     use_hash = spec.gridtype == "hash" and stride > hashmap_size
+    if use_hash:
+        assert hashmap_size == 2**spec.log2_hashmap_size, (
+            "hashed level size must be the power-of-two cap"
+        )
     return res, hashmap_size, strides, use_dim, use_hash
 
 
-def _corner_indices(pos_grid, spec: HashGridSpec, level: int):
-    """pos_grid: [N, 2^D, D] uint32 corner coords -> [N, 2^D] table rows."""
+def _i32(v: int) -> jnp.ndarray:
+    return jnp.int32(np.int64(v & int(_U32)).astype(np.uint32).view(np.int32))
+
+
+def _corner_rows(corners, spec: HashGridSpec, level: int):
+    """corners: [N, 2^D, D] int32 coords -> [N, 2^D] table rows (int32)."""
     _, hashmap_size, strides, use_dim, use_hash = _level_corner_plan(spec, level)
     if use_hash:
-        h = jnp.zeros(pos_grid.shape[:-1], jnp.uint32)
+        h = jnp.zeros(corners.shape[:-1], jnp.int32)
         for d in range(spec.input_dim):
-            h = h ^ (pos_grid[..., d] * jnp.uint32(_PRIMES[d] & int(_U32)))
-        index = h
-    else:
-        index = jnp.zeros(pos_grid.shape[:-1], jnp.uint32)
-        for d in range(spec.input_dim):
-            if use_dim[d]:
-                index = index + pos_grid[..., d] * jnp.uint32(strides[d])
-    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+            h = h ^ (corners[..., d] * _i32(_PRIMES[d]))
+        return h & jnp.int32(hashmap_size - 1)
+    index = jnp.zeros(corners.shape[:-1], jnp.int32)
+    for d in range(spec.input_dim):
+        if use_dim[d]:
+            index = index + corners[..., d] * _i32(strides[d])
+    if all(use_dim):
+        # fully dense level: index < side^D <= level size, no modulo needed
+        return index
+    # capped tiled level (stride outgrew the table): modulo like the kernel
+    return jnp.where(index < 0, index + jnp.int32(hashmap_size), index) \
+        % jnp.int32(hashmap_size)
 
 
 def hash_encode(table, x01, spec: HashGridSpec):
@@ -155,6 +173,11 @@ def hash_encode(table, x01, spec: HashGridSpec):
 
     Returns:
       [N, num_levels * level_dim]; zero rows for out-of-range inputs.
+
+    TPU shape: corner rows and weights for ALL levels are computed with
+    elementwise int32/f32 ops, then ONE [N, L*2^D] gather pulls every corner
+    embedding from the flat table (14 small gathers would waste HBM
+    round-trips), followed by a weighted reduction.
     """
     D = spec.input_dim
     C = spec.level_dim
@@ -163,30 +186,36 @@ def hash_encode(table, x01, spec: HashGridSpec):
     offsets = spec.offsets
 
     # Corner offsets [2^D, D]: bit d of corner id selects +1 along dim d.
-    corner_bits = np.arange(2**D, dtype=np.uint32)
+    corner_bits = np.arange(2**D, dtype=np.int32)
     corner_off = np.stack([(corner_bits >> d) & 1 for d in range(D)], axis=-1)
+    sel = jnp.asarray(corner_off, jnp.float32)  # [2^D, D]
 
-    outs = []
+    rows_all = []
+    w_all = []
     for level in range(spec.num_levels):
         scale = spec.level_scale(level)
         pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
         base = jnp.floor(pos)
         frac = pos - base  # [N, D]
-        base_u = base.astype(jnp.uint32)  # in-range inputs are non-negative
+        base_i = base.astype(jnp.int32)  # in-range inputs are non-negative
 
-        corners = base_u[:, None, :] + jnp.asarray(corner_off)  # [N, 2^D, D]
-        rows = _corner_indices(corners, spec, level) + jnp.int32(offsets[level])
-
+        corners = base_i[:, None, :] + jnp.asarray(corner_off)  # [N, 2^D, D]
+        rows_all.append(_corner_rows(corners, spec, level)
+                        + jnp.int32(offsets[level]))
         # d-linear weights: prod over dims of (frac or 1-frac)
-        sel = jnp.asarray(corner_off, jnp.float32)  # [2^D, D]
-        w = jnp.prod(
-            sel[None] * frac[:, None, :] + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
-            axis=-1,
+        w_all.append(
+            jnp.prod(
+                sel[None] * frac[:, None, :]
+                + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
+                axis=-1,
+            )
         )  # [N, 2^D]
 
-        vals = jnp.take(table, rows, axis=0)  # [N, 2^D, C]
-        level_out = jnp.sum(vals * w[..., None].astype(vals.dtype), axis=1)  # [N, C]
-        outs.append(level_out)
-
-    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
+    rows = jnp.concatenate(rows_all, axis=1)  # [N, L*2^D]
+    w = jnp.concatenate(w_all, axis=1)  # [N, L*2^D]
+    vals = jnp.take(table, rows, axis=0)  # [N, L*2^D, C] — single gather
+    level_out = vals * w[..., None].astype(vals.dtype)
+    out = level_out.reshape(
+        x01.shape[0], spec.num_levels, 2**D, C
+    ).sum(axis=2).reshape(x01.shape[0], spec.num_levels * C)
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)

@@ -127,19 +127,19 @@ def march_rays(
     occ = _occupancy_lookup(bitfield, pos, dts, rspec)
     occ = occ & (ts < fars[:, None])
 
-    # compact occupied lattice points into the first S slots per ray
-    slot = jnp.cumsum(occ, axis=1) - 1
-    keep = occ & (slot < S)
-    slot_w = jnp.where(keep, slot, S)  # S is out-of-range -> dropped
-    rows = jnp.broadcast_to(jnp.arange(N)[:, None], slot_w.shape)
-
-    def scatter(vals, fill=0.0, dtype=jnp.float32):
-        out = jnp.full((N, S), fill, dtype)
-        return out.at[rows, slot_w].set(vals.astype(dtype), mode="drop")
-
-    t_out = scatter(ts)
-    dt_out = scatter(dts)
-    mask = jnp.zeros((N, S), bool).at[rows, slot_w].set(keep, mode="drop")
+    # compact occupied lattice points into the first S slots per ray.
+    # Scatter-free: XLA TPU scatters serialize, so instead find the position
+    # of the s-th occupied lattice point with a per-ray binary search over
+    # the occupancy prefix sum (10 vectorized gather steps), then gather.
+    cum = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [N, L]
+    targets = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
+    pos_idx = jax.vmap(
+        lambda c: jnp.searchsorted(c, targets, side="left")
+    )(cum)  # [N, S]: lattice index of the s-th occupied point
+    mask = targets[None, :] <= cum[:, -1:]
+    pos_c = jnp.minimum(pos_idx, ts.shape[1] - 1)
+    t_out = jnp.take_along_axis(ts, pos_c, axis=1) * mask
+    dt_out = jnp.take_along_axis(dts, pos_c, axis=1) * mask
 
     # delta_depth_i = (t_i + dt_i) - (t_{i-1} + dt_{i-1}), seeded with t0
     # (the "real delta" channel used for depth, raymarching.cu:460-465)

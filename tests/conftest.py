@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the environment's site hook force-registers an 'axon' TPU backend and sets
+# jax_platforms='axon,cpu' via config (overriding the env var); tests must
+# run on the virtual CPU mesh, so override it back after import
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: first-touch primitive compiles dominate CPU test
 # time; cache them across runs

@@ -106,12 +106,12 @@ def test_vm_density_l1_positive():
 
 def test_vm_resize_matches_torch_interpolate():
     rng = np.random.default_rng(0)
-    arr = rng.normal(size=(5, 12, 18)).astype(np.float32)
+    arr = rng.normal(size=(12, 18, 5)).astype(np.float32)
     ours = _linear_resize_2d(arr, (20, 31))
     want = F.interpolate(
-        torch.from_numpy(arr)[None], size=(20, 31), mode="bilinear",
-        align_corners=True,
-    )[0].numpy()
+        torch.from_numpy(arr.transpose(2, 0, 1))[None], size=(20, 31),
+        mode="bilinear", align_corners=True,
+    )[0].numpy().transpose(1, 2, 0)
     np.testing.assert_allclose(ours, want, atol=1e-5)
 
 
@@ -119,9 +119,9 @@ def test_vm_upsample_changes_shapes_only():
     spec = SMALL_SPECS["vm"]
     params = init_field(jax.random.PRNGKey(4), spec)
     up = upsample_params(params, (36, 40, 44))
-    assert up["sigma_mat"][0].shape == (16, 40, 36)  # [R, res_m1, res_m0]
-    assert up["sigma_vec"][0].shape == (16, 44)  # vec_id 2
-    assert up["color_mat"][2].shape == (48, 44, 40)  # mat_ids (1,2)
+    assert up["sigma_mat"][0].shape == (40, 36, 16)  # [res_m1, res_m0, R]
+    assert up["sigma_vec"][0].shape == (44, 16)  # vec_id 2
+    assert up["color_mat"][2].shape == (44, 40, 48)  # mat_ids (1,2)
     # field still evaluates
     x, d = _points(9)
     out = field_forward(up, spec, x, d, AABB)
@@ -138,7 +138,7 @@ def test_tensors_color_is_sh_dot():
     from pvd_tpu.ops.sh import sh_encode
 
     xn = 2 * (x - AABB[:3]) / (AABB[3:] - AABB[:3]) - 1
-    h = grid_sample_3d(params["volume"], xn).T
+    h = grid_sample_3d(params["volume"], xn)
     sh_coef = np.asarray(h[:, 1:]).reshape(8, 3, 9)
     enc = np.asarray(sh_encode(d, 3))
     want = 1 / (1 + np.exp(-(sh_coef * enc[:, None, :]).sum(-1)))
