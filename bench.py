@@ -27,7 +27,7 @@ def main():
     from pvd_tpu.render import init_occupancy_state
 
     NUM_RAYS = 4096  # reference distill default (main_distill_mutual.py:56-61)
-    MAX_SAMPLES = 64
+    MAX_SAMPLES = 32
     H, W = 800, 800
     ITERS = 30
     WARMUP = 5

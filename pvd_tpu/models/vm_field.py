@@ -31,7 +31,6 @@ from pvd_tpu.config import ModelSpec
 from pvd_tpu.models.common import apply_mlp, init_linear, init_mlp, mlp_dims
 from pvd_tpu.models.heads import FieldOut
 from pvd_tpu.ops.activation import trunc_exp
-from pvd_tpu.ops.grid_sample import grid_sample_1d, grid_sample_2d
 from pvd_tpu.ops.sh import sh_encode
 
 MAT_IDS = ((0, 1), (0, 2), (1, 2))
@@ -74,15 +73,34 @@ def _normalize(x, aabb):
 
 
 def _plane_line_feats(mats: List, vecs: List, xn):
-    """Per-branch [N, R_i] plane*line products, stop-gradient coords."""
+    """Per-branch [N, R_i] plane*line products, stop-gradient coords.
+
+    Each plane query fetches its 4 bilinear corners as ONE neighborhood-
+    packed row (ops/packing.py) — the TPU gather engine is row-rate-bound,
+    so this is 4x fewer gathers than corner-wise grid_sample with identical
+    zero-padded semantics (tent weights).  Packed tables are rebuilt from
+    the canonical parameters inside the graph, so gradients and checkpoints
+    are unchanged.
+    """
+    from pvd_tpu.ops.packing import (
+        pack_line,
+        pack_plane,
+        sample_packed_line,
+        sample_packed_plane,
+    )
+
     xn = jax.lax.stop_gradient(xn)
     feats = []
     for i in range(3):
         m0, m1 = MAT_IDS[i]
         v = VEC_IDS[i]
-        plane_coords = jnp.stack([xn[:, m0], xn[:, m1]], axis=-1)  # (x->W, y->H)
-        mf = grid_sample_2d(mats[i], plane_coords)  # [N, R]
-        vf = grid_sample_1d(vecs[i], xn[:, v])  # [N, R]
+        H, W, R = mats[i].shape
+        px = (xn[:, m0] + 1.0) * 0.5 * (W - 1)
+        py = (xn[:, m1] + 1.0) * 0.5 * (H - 1)
+        mf = sample_packed_plane(pack_plane(mats[i]), H, W, R, px, py)
+        L = vecs[i].shape[0]
+        pz = (xn[:, v] + 1.0) * 0.5 * (L - 1)
+        vf = sample_packed_line(pack_line(vecs[i]), L, R, pz)
         feats.append(mf * vf)
     return feats
 

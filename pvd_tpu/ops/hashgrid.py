@@ -162,7 +162,11 @@ def _corner_rows(corners, spec: HashGridSpec, level: int):
         % jnp.int32(hashmap_size)
 
 
-def hash_encode(table, x01, spec: HashGridSpec):
+def _is_dense(spec: HashGridSpec, level: int) -> bool:
+    return not _level_corner_plan(spec, level)[4]
+
+
+def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
     """Encode points through all levels.
 
     Args:
@@ -170,17 +174,22 @@ def hash_encode(table, x01, spec: HashGridSpec):
       x01: [N, D] positions normalized to [0, 1] (callers map from
            [-bound, bound]; see grid.py:207-211).
       spec: HashGridSpec.
+      packed_dense: fetch each dense level's 2^D interpolation corners as
+        ONE neighborhood-packed row (ops/packing.py) instead of 2^D rows —
+        8x fewer gathers for those levels, identical math and parameters
+        (the packed table is built inside the graph each call).
 
     Returns:
       [N, num_levels * level_dim]; zero rows for out-of-range inputs.
 
-    TPU shape: corner rows and weights for ALL levels are computed with
-    elementwise int32/f32 ops, then ONE [N, L*2^D] gather pulls every corner
-    embedding from the flat table (14 small gathers would waste HBM
-    round-trips), followed by a weighted reduction.
+    TPU shape: the gather engine is rate-limited per row, so corner rows
+    and weights for ALL levels are computed with elementwise int32/f32 ops
+    and collapsed into at most two gathers: one over the packed-dense
+    table, one [N, L_hash*2^D] over the flat table for hashed levels.
     """
     D = spec.input_dim
     C = spec.level_dim
+    N = x01.shape[0]
     x01 = jnp.asarray(x01, jnp.float32)
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
     offsets = spec.offsets
@@ -190,32 +199,82 @@ def hash_encode(table, x01, spec: HashGridSpec):
     corner_off = np.stack([(corner_bits >> d) & 1 for d in range(D)], axis=-1)
     sel = jnp.asarray(corner_off, jnp.float32)  # [2^D, D]
 
-    rows_all = []
-    w_all = []
+    level_out: list = [None] * spec.num_levels
+    hashed_rows, hashed_w, hashed_levels = [], [], []
+    dense_base, dense_w, dense_levels = [], [], []
+
     for level in range(spec.num_levels):
         scale = spec.level_scale(level)
         pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
         base = jnp.floor(pos)
         frac = pos - base  # [N, D]
         base_i = base.astype(jnp.int32)  # in-range inputs are non-negative
-
-        corners = base_i[:, None, :] + jnp.asarray(corner_off)  # [N, 2^D, D]
-        rows_all.append(_corner_rows(corners, spec, level)
-                        + jnp.int32(offsets[level]))
         # d-linear weights: prod over dims of (frac or 1-frac)
-        w_all.append(
-            jnp.prod(
-                sel[None] * frac[:, None, :]
-                + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
-                axis=-1,
-            )
+        w = jnp.prod(
+            sel[None] * frac[:, None, :]
+            + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
+            axis=-1,
         )  # [N, 2^D]
 
-    rows = jnp.concatenate(rows_all, axis=1)  # [N, L*2^D]
-    w = jnp.concatenate(w_all, axis=1)  # [N, L*2^D]
-    vals = jnp.take(table, rows, axis=0)  # [N, L*2^D, C] — single gather
-    level_out = vals * w[..., None].astype(vals.dtype)
-    out = level_out.reshape(
-        x01.shape[0], spec.num_levels, 2**D, C
-    ).sum(axis=2).reshape(x01.shape[0], spec.num_levels * C)
+        if packed_dense and D == 3 and _is_dense(spec, level):
+            res, _, strides, _, _ = _level_corner_plan(spec, level)
+            side = res if spec.align_corners else res + 1
+            flat = (
+                base_i[:, 0]
+                + base_i[:, 1] * jnp.int32(side)
+                + base_i[:, 2] * jnp.int32(side * side)
+            )
+            dense_base.append(flat)
+            dense_w.append(w)
+            dense_levels.append(level)
+        else:
+            corners = base_i[:, None, :] + jnp.asarray(corner_off)
+            hashed_rows.append(_corner_rows(corners, spec, level)
+                               + jnp.int32(offsets[level]))
+            hashed_w.append(w)
+            hashed_levels.append(level)
+
+    if dense_levels:
+        from pvd_tpu.ops.packing import pack_rows_3d
+
+        packed_parts, packed_offsets, off = [], [], 0
+        for level in dense_levels:
+            res, _, _, _, _ = _level_corner_plan(spec, level)
+            side = res if spec.align_corners else res + 1
+            packed_parts.append(
+                pack_rows_3d(
+                    table[int(offsets[level]): int(offsets[level]) + side**3],
+                    side, C,
+                )
+            )
+            packed_offsets.append(off)
+            off += side**3
+        packed = jnp.concatenate(packed_parts, axis=0)  # [sum side^3, 8C]
+        rows = jnp.stack(
+            [b + jnp.int32(o) for b, o in zip(dense_base, packed_offsets)],
+            axis=1,
+        )  # [N, Ld]
+        vals = jnp.take(packed, rows, axis=0)  # ONE gather: [N, Ld, 8C]
+        wd = jnp.stack(dense_w, axis=1)  # [N, Ld, 8]
+        outs = jnp.sum(
+            vals.reshape(N, len(dense_levels), 8, C)
+            * wd[..., None].astype(vals.dtype),
+            axis=2,
+        )  # [N, Ld, C]
+        for i, level in enumerate(dense_levels):
+            level_out[level] = outs[:, i]
+
+    if hashed_levels:
+        rows = jnp.concatenate(hashed_rows, axis=1)  # [N, Lh*2^D]
+        w = jnp.concatenate(hashed_w, axis=1)
+        vals = jnp.take(table, rows, axis=0)  # ONE gather: [N, Lh*2^D, C]
+        outs = jnp.sum(
+            vals.reshape(N, len(hashed_levels), 2**D, C)
+            * w.reshape(N, len(hashed_levels), 2**D, 1).astype(vals.dtype),
+            axis=2,
+        )
+        for i, level in enumerate(hashed_levels):
+            level_out[level] = outs[:, i]
+
+    out = jnp.concatenate(level_out, axis=-1)  # [N, L*C]
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)
