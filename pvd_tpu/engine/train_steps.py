@@ -93,8 +93,15 @@ def make_teacher_step(
     W: int,
     image_channels: int,
     ema_decay: float = -1.0,
+    use_error_map: bool = False,
 ):
-    """Returns jitted step(state, pose [4,4], image_flat [H*W, C], key)."""
+    """Returns jitted step(state, pose [4,4], image_flat [H*W, C], emap, key).
+
+    `emap` is this image's [128*128] error-map row when use_error_map (the
+    importance ray sampler + EMA error update, get_rays/utils.py:353-381 and
+    the loss-side update at utils.py:1125-1133); pass None otherwise — the
+    returned emap is the updated row (or None).
+    """
     intr = tuple(float(v) for v in intrinsics)
 
     def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
@@ -102,15 +109,22 @@ def make_teacher_step(
             params, spec, rspec, occ, rays_o, rays_d, training=True,
             bg_color=bg, perturb_key=key,
         )
-        loss = rgb_loss(out["image"], gt, cfg.loss_type)
+        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
+        if cfg.loss_type == "L2":
+            loss = jnp.mean(per_ray)
+        else:
+            loss = rgb_loss(out["image"], gt, cfg.loss_type)
         if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
             loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
-        return loss, out
+        return loss, (out, per_ray)
 
     @jax.jit
-    def step(state: TrainState, pose, image_flat, key):
+    def step(state: TrainState, pose, image_flat, emap, key):
         k_rays, k_bg, k_perturb = jax.random.split(key, 3)
-        rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays)
+        rays = get_rays(
+            k_rays, pose[None], intr, H, W, cfg.num_rays,
+            error_map=emap[None] if use_error_map else None,
+        )
         o, d = rays["rays_o"][0], rays["rays_d"][0]
         pix = image_flat[rays["inds"][0]]  # [N, C]
 
@@ -121,9 +135,9 @@ def make_teacher_step(
             bg = 1.0
             gt = pix[..., :3]
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.occ, o, d, gt, bg, k_perturb
-        )
+        (loss, (out, per_ray)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.occ, o, d, gt, bg, k_perturb)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
@@ -131,6 +145,17 @@ def make_teacher_step(
             from pvd_tpu.engine.optim import ema_update
 
             ema = ema_update(ema, params, ema_decay)
+
+        new_emap = emap
+        if use_error_map:
+            # EMA update of the coarse error cells hit this step
+            # (distill_mutual/utils.py:1125-1133)
+            coarse = rays["inds_coarse"][0]
+            old = emap[coarse]
+            new_emap = emap.at[coarse].set(
+                0.1 * old + 0.9 * jax.lax.stop_gradient(per_ray)
+            )
+
         metrics = {
             "loss": loss,
             "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
@@ -140,6 +165,7 @@ def make_teacher_step(
                 params=params, opt_state=opt_state, step=state.step + 1,
                 ema_params=ema,
             ),
+            new_emap,
             metrics,
         )
 

@@ -115,6 +115,14 @@ class Trainer:
         )
         self._steps = {}
         self.stats = {}
+        self.error_map = None  # [B, 128*128] device array when cfg.error_map
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(self.workspace, "tb"))
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def log(self, msg: str):
@@ -186,6 +194,7 @@ class Trainer:
                 self._steps[key] = make_teacher_step(
                     self.spec_stu, self.rspec, self.opt, self.cfg, intr, H, W,
                     image_channels=C, ema_decay=self.cfg.ema_decay,
+                    use_error_map=self.cfg.error_map,
                 )
             else:
                 self._steps[key] = make_distill_step(
@@ -264,6 +273,8 @@ class Trainer:
             images = jnp.asarray(train_ds.images_flat())
             C = int(images.shape[-1])
             poses = jnp.asarray(train_ds.poses)
+            if cfg.error_map:
+                self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
         else:
             C = 4
             poses = jnp.asarray(
@@ -292,9 +303,15 @@ class Trainer:
             stage = self._stage_of(step)
             step_fn = self._get_step_fn(stage, H, W, C, intr)
             if self.mode == "teacher":
-                self.state, metrics = step_fn(
-                    self.state, poses[idx], images[idx], k_step
+                emap = (
+                    self.error_map[idx] if self.error_map is not None
+                    else jnp.zeros((128 * 128,), jnp.float32)
                 )
+                self.state, emap, metrics = step_fn(
+                    self.state, poses[idx], images[idx], emap, k_step
+                )
+                if self.error_map is not None:
+                    self.error_map = self.error_map.at[idx].set(emap)
             else:
                 self.state, metrics = step_fn(
                     self.state, self.params_tea, self.occ_tea, poses[idx],
@@ -309,6 +326,9 @@ class Trainer:
                     f"[{self.name}] step {step}/{total} stage{stage} {msg} "
                     f"({(time.time()-t_start):.1f}s)"
                 )
+                if self._tb is not None:
+                    for k, v in m.items():
+                        self._tb.add_scalar(f"train/{k}", v, step)
 
         self.save()
         return self.state
@@ -376,4 +396,8 @@ class Trainer:
             "lpips_vgg": float(np.mean(lp_v)) if lp_v else None,
         }
         self.log(f"[evaluate:{self.name}] {self.stats}")
+        if self._tb is not None:
+            for k, v in self.stats.items():
+                if v is not None:
+                    self._tb.add_scalar(f"eval/{k}", v, int(self.state.step))
         return self.stats

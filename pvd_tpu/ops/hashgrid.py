@@ -25,6 +25,7 @@ Key exactness notes:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -166,6 +167,81 @@ def _is_dense(spec: HashGridSpec, level: int) -> bool:
     return not _level_corner_plan(spec, level)[4]
 
 
+# ---- corner gather with a scatter-folding backward -----------------------
+#
+# XLA's TPU scatter-add costs ~20-25ns per updated ROW once the destination
+# is <=~256K rows, and ~4x that for larger tables (measured on v5e).  This
+# custom VJP gathers in one fused op but scatters gradients per level,
+# FOLDING any level larger than _SCATTER_CHUNK rows into a [size/F, F*C]
+# view (the update value is widened with a one-hot slot mask) so every
+# scatter stays in the fast regime with a single pass over the updates.
+
+_SCATTER_CHUNK = 262144
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _corner_gather_sum(table, rows, w, level_offsets, n_corners):
+    """out[n, l, :] = sum_k w[n, l*K+k] * table[rows[n, l*K+k], :]."""
+    K = n_corners
+    N = rows.shape[0]
+    L = rows.shape[1] // K
+    C = table.shape[1]
+    vals = jnp.take(table, rows, axis=0)  # [N, L*K, C]
+    return jnp.sum(
+        vals.reshape(N, L, K, C) * w.reshape(N, L, K, 1).astype(vals.dtype),
+        axis=2,
+    )
+
+
+def _corner_gather_sum_fwd(table, rows, w, level_offsets, n_corners):
+    out = _corner_gather_sum(table, rows, w, level_offsets, n_corners)
+    return out, (table, rows, w)
+
+
+def _corner_gather_sum_bwd(level_offsets, n_corners, res, g):
+    table, rows, w = res
+    K = n_corners
+    N, total = rows.shape
+    L = total // K
+    C = table.shape[1]
+    vals = jnp.take(table, rows, axis=0)  # re-gather (cheaper than saving)
+    g_rep = jnp.repeat(g, K, axis=1)  # [N, L*K, C]
+    g_w = jnp.sum(vals * g_rep, axis=-1).astype(w.dtype)
+    g_vals = g_rep * w[..., None].astype(g_rep.dtype)
+
+    parts = [jnp.zeros((int(level_offsets[0]), C), table.dtype)]
+    for li in range(L):
+        off = int(level_offsets[li])
+        size = int(level_offsets[li + 1]) - off
+        rows_l = rows[:, li * K : (li + 1) * K].reshape(-1) - jnp.int32(off)
+        gv_l = g_vals[:, li * K : (li + 1) * K].reshape(-1, C).astype(table.dtype)
+        fold = 1
+        while size // fold > _SCATTER_CHUNK and size % (fold * 2) == 0:
+            fold *= 2
+        if fold == 1:
+            parts.append(
+                jnp.zeros((size, C), table.dtype).at[rows_l].add(gv_l,
+                                                                 mode="drop")
+            )
+        else:
+            slot = rows_l % fold
+            onehot = (slot[:, None] == jnp.arange(fold)[None, :]).astype(
+                table.dtype)
+            wide = (onehot[:, :, None] * gv_l[:, None, :]).reshape(
+                -1, fold * C)
+            acc = jnp.zeros((size // fold, fold * C), table.dtype).at[
+                rows_l // fold].add(wide, mode="drop")
+            parts.append(acc.reshape(size, C))
+    pad = table.shape[0] - int(level_offsets[L])
+    if pad:
+        parts.append(jnp.zeros((pad, C), table.dtype))
+    g_table = jnp.concatenate(parts, axis=0)
+    return g_table, None, g_w
+
+
+_corner_gather_sum.defvjp(_corner_gather_sum_fwd, _corner_gather_sum_bwd)
+
+
 def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
     """Encode points through all levels.
 
@@ -267,12 +343,11 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
     if hashed_levels:
         rows = jnp.concatenate(hashed_rows, axis=1)  # [N, Lh*2^D]
         w = jnp.concatenate(hashed_w, axis=1)
-        vals = jnp.take(table, rows, axis=0)  # ONE gather: [N, Lh*2^D, C]
-        outs = jnp.sum(
-            vals.reshape(N, len(hashed_levels), 2**D, C)
-            * w.reshape(N, len(hashed_levels), 2**D, 1).astype(vals.dtype),
-            axis=2,
-        )
+        # routed levels are contiguous in the table; (Lh+1) absolute offsets
+        lvl_offsets = tuple(
+            int(offsets[level]) for level in hashed_levels
+        ) + (int(offsets[hashed_levels[-1] + 1]),)
+        outs = _corner_gather_sum(table, rows, w, lvl_offsets, 2**D)
         for i, level in enumerate(hashed_levels):
             level_out[level] = outs[:, i]
 
