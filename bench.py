@@ -37,8 +37,8 @@ def main():
         max_steps=1024, resolution0=300,
     )
     rspec = cfg.render_spec()
-    spec_tea = ModelSpec(model_type="hash")
-    spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300))
+    spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16")
+    spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300), compute_dtype="bfloat16")
 
     k = jax.random.PRNGKey(0)
     params_tea = init_field(jax.random.fold_in(k, 0), spec_tea)

