@@ -112,6 +112,20 @@ def write_args_txt(cfg: PVDConfig, workspace: str):
         f.write(cfg.to_json())
 
 
+def save_codes_env(workspace: str):
+    """Snapshot the framework source into the workspace for reproducibility
+    (reference save_codes_env, main_distill_mutual.py:15-21)."""
+    import shutil
+
+    src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(workspace, "codes_env", "pvd_tpu")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(
+        src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+    )
+
+
 def finalize_run(trainer, cfg: PVDConfig):
     """Append metrics + rename workspace with the PSNR suffix
     (main_just_train_tea.py:347-354)."""

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import sys
 
-from pvd_tpu.cli.common import base_parser, finalize_run, to_config, write_args_txt
+from pvd_tpu.cli.common import (
+    base_parser,
+    finalize_run,
+    save_codes_env,
+    to_config,
+    write_args_txt,
+)
 from pvd_tpu.data.provider import NeRFDataset
 from pvd_tpu.engine.trainer import Trainer
 from pvd_tpu.utils import seed_everything
@@ -74,6 +80,7 @@ def main(argv=None):
 
     assert cfg.ckpt_teacher, "--ckpt_teacher is required for distillation"
     write_args_txt(cfg, cfg.workspace)
+    save_codes_env(cfg.workspace)
     trainer.load_teacher(cfg.ckpt_teacher)
     if cfg.ckpt_student:
         trainer.load_student(cfg.ckpt_student)

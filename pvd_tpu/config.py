@@ -94,10 +94,22 @@ class RenderSpec:
     num_steps: int = 512
     upsample_steps: int = 0
     bg_radius: float = -1.0
+    # coarse-to-fine marching: test a dilated occupancy field at
+    # `coarse_stride` lattice spacing first, then fine-test only candidate
+    # windows (exact thanks to the dilation; auto-disabled for dt_gamma>0
+    # or multi-cascade scenes)
+    coarse_march: bool = True
+    coarse_stride: int = 8
 
     @property
     def cascades(self) -> int:
         return 1 + max(0, math.ceil(math.log2(self.bound)))
+
+    @property
+    def use_coarse_march(self) -> bool:
+        return (
+            self.coarse_march and self.dt_gamma == 0.0 and self.cascades == 1
+        )
 
 
 @dataclasses.dataclass

@@ -51,6 +51,7 @@ def save_checkpoint(
         "occ": {
             "density_grid": np.asarray(occ.density_grid),
             "bitfield": np.asarray(occ.bitfield),
+            "bitfield_dilated": np.asarray(occ.bitfield_dilated),
             "mean_density": float(occ.mean_density),
             "iter_density": int(occ.iter_density),
             "aabb_train": np.asarray(occ.aabb_train),
@@ -86,10 +87,17 @@ def latest_checkpoint(path_dir: str, name: str) -> Optional[str]:
 def load_checkpoint(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
+    from pvd_tpu.render.occupancy import dilate_bitfield
+
     occ_d = payload["occ"]
+    bitfield = jnp.asarray(occ_d["bitfield"])
+    H = occ_d["density_grid"].shape[1]
     occ = OccupancyState(
         density_grid=jnp.asarray(occ_d["density_grid"]),
-        bitfield=jnp.asarray(occ_d["bitfield"]),
+        bitfield=bitfield,
+        bitfield_dilated=jnp.asarray(
+            occ_d["bitfield_dilated"]
+        ) if "bitfield_dilated" in occ_d else dilate_bitfield(bitfield, H),
         mean_density=jnp.float32(occ_d["mean_density"]),
         iter_density=jnp.int32(occ_d["iter_density"]),
         aabb_train=jnp.asarray(occ_d["aabb_train"]),

@@ -128,6 +128,12 @@ def make_teacher_step(
         o, d = rays["rays_o"][0], rays["rays_d"][0]
         pix = image_flat[rays["inds"][0]]  # [N, C]
 
+        if cfg.color_space == "linear":
+            from pvd_tpu.utils.misc import srgb_to_linear
+
+            pix = jnp.concatenate(
+                [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
+            )
         if image_channels == 4 and spec.bg_radius <= 0:
             bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
             gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])

@@ -31,10 +31,35 @@ from pvd_tpu.config import RenderSpec
 class OccupancyState:
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 marks untrained cells
     bitfield: jnp.ndarray  # [CAS * H^3] bool, flat row-major
+    bitfield_dilated: jnp.ndarray  # [CAS * H^3] bool, 2-cell max-dilation
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
     aabb_train: jnp.ndarray  # [6]
     aabb_infer: jnp.ndarray  # [6]
+
+
+def dilate_bitfield(bitfield, H: int, radius: int = 2):
+    """Max-dilate the occupancy field by `radius` cells per axis (separable
+    shifts) — the conservative coarse field for two-stage marching."""
+    C = bitfield.shape[0] // (H * H * H)
+    g = bitfield.reshape(C, H, H, H)
+    for axis in (1, 2, 3):
+        acc = g
+        for r in range(1, radius + 1):
+            pad_lo = [(0, 0)] * 4
+            pad_hi = [(0, 0)] * 4
+            pad_lo[axis] = (r, 0)
+            pad_hi[axis] = (0, r)
+            lo = jnp.pad(g, pad_lo)[
+                tuple(slice(0, H) if a == axis else slice(None)
+                      for a in range(4))
+            ]
+            sl = [slice(None)] * 4
+            sl[axis] = slice(r, H + r)
+            hi = jnp.pad(g, pad_hi)[tuple(sl)]
+            acc = acc | lo | hi
+        g = acc
+    return g.reshape(-1)
 
 
 def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
@@ -44,6 +69,7 @@ def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
     return OccupancyState(
         density_grid=jnp.zeros((C, H, H, H), jnp.float32),
         bitfield=jnp.zeros((C * H * H * H,), bool),
+        bitfield_dilated=jnp.zeros((C * H * H * H,), bool),
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
         aabb_train=aabb,
@@ -132,6 +158,7 @@ def update_density_grid(
     return state.replace(
         density_grid=new_grid,
         bitfield=bitfield,
+        bitfield_dilated=dilate_bitfield(bitfield, H),
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
     )
@@ -178,11 +205,20 @@ def mark_untrained_grid(
     return state.replace(density_grid=new_grid)
 
 
+def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
+    """Replace the bitfield and keep the dilated companion consistent."""
+    H = state.density_grid.shape[1]
+    return state.replace(
+        bitfield=bitfield, bitfield_dilated=dilate_bitfield(bitfield, H)
+    )
+
+
 def reset_state(state: OccupancyState) -> OccupancyState:
     """reset_extra_state (renderer.py:127-137)."""
     return state.replace(
         density_grid=jnp.zeros_like(state.density_grid),
         bitfield=jnp.zeros_like(state.bitfield),
+        bitfield_dilated=jnp.zeros_like(state.bitfield_dilated),
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
     )

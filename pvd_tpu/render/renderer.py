@@ -102,6 +102,19 @@ def _occupancy_lookup(bitfield, pos, dts, rspec: RenderSpec):
     return bitfield[flat]
 
 
+def _compact_first_k(mask, k: int):
+    """Positions of the first k True entries per row (binary search over the
+    prefix sum — scatter-free; XLA TPU scatters serialize).
+
+    mask: [N, L] bool. Returns (pos [N, k] clamped indices, valid [N, k]).
+    """
+    cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(cum)
+    valid = targets[None, :] <= cum[:, -1:]
+    return jnp.minimum(pos, mask.shape[1] - 1), valid
+
+
 def march_rays(
     bitfield,
     rays_o,
@@ -110,34 +123,59 @@ def march_rays(
     fars,
     rspec: RenderSpec,
     perturb_key=None,
+    bitfield_dilated=None,
 ) -> MarchedSamples:
-    """March all rays through the occupancy grid into padded sample slots."""
+    """March all rays through the occupancy grid into padded sample slots.
+
+    When `bitfield_dilated` is given and the scene qualifies
+    (rspec.use_coarse_march), a two-stage exact test runs first: the dilated
+    field is probed every `coarse_stride` lattice points; only lattice
+    windows whose probe hits are fine-tested.  The dilation radius (2 cells)
+    covers the max distance between a window's points and its probe, so no
+    occupied sample can be missed.
+    """
     N = rays_o.shape[0]
     S = rspec.max_samples
+    L = rspec.max_steps
     dt_min = 2.0 * SQRT3 / rspec.max_steps
 
     t0 = nears
     if perturb_key is not None:
         t0 = t0 + dt_min * jax.random.uniform(perturb_key, (N,))
 
-    ts, dts = _t_lattice(t0, rspec)  # [N, L]
+    use_coarse = bitfield_dilated is not None and rspec.use_coarse_march
+    if use_coarse:
+        F = rspec.coarse_stride
+        # probe the dilated field at every F-th lattice point
+        kc = jnp.arange(0, L, F, dtype=jnp.float32)  # [L/F]
+        ts_c = t0[:, None] + kc[None, :] * dt_min
+        pos_c3 = rays_o[:, None, :] + ts_c[..., None] * rays_d[:, None, :]
+        pos_c3 = jnp.clip(pos_c3, -rspec.bound, rspec.bound)
+        hit = _occupancy_lookup(bitfield_dilated, pos_c3, ts_c * 0 + dt_min,
+                                rspec)
+        hit = hit & (ts_c < fars[:, None])
+        # keep the first S candidate windows, expand each to its F fine pts
+        win_pos, win_valid = _compact_first_k(hit, S)  # [N, S]
+        fine_idx = (win_pos[..., None] * F
+                    + jnp.arange(F, dtype=jnp.int32)[None, None, :])
+        fine_idx = fine_idx.reshape(N, S * F)  # lattice indices, ascending
+        ts = t0[:, None] + fine_idx.astype(jnp.float32) * dt_min
+        dts = jnp.full_like(ts, dt_min)
+        lattice_valid = jnp.repeat(win_valid, F, axis=1)
+    else:
+        ts, dts = _t_lattice(t0, rspec)  # [N, L]
+        lattice_valid = None
+
     pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     pos = jnp.clip(pos, -rspec.bound, rspec.bound)
 
     occ = _occupancy_lookup(bitfield, pos, dts, rspec)
     occ = occ & (ts < fars[:, None])
+    if lattice_valid is not None:
+        occ = occ & lattice_valid
 
-    # compact occupied lattice points into the first S slots per ray.
-    # Scatter-free: XLA TPU scatters serialize, so instead find the position
-    # of the s-th occupied lattice point with a per-ray binary search over
-    # the occupancy prefix sum (10 vectorized gather steps), then gather.
-    cum = jnp.cumsum(occ.astype(jnp.int32), axis=1)  # [N, L]
-    targets = jnp.arange(1, S + 1, dtype=jnp.int32)  # [S]
-    pos_idx = jax.vmap(
-        lambda c: jnp.searchsorted(c, targets, side="left")
-    )(cum)  # [N, S]: lattice index of the s-th occupied point
-    mask = targets[None, :] <= cum[:, -1:]
-    pos_c = jnp.minimum(pos_idx, ts.shape[1] - 1)
+    # compact occupied lattice points into the first S slots per ray
+    pos_c, mask = _compact_first_k(occ, S)
     t_out = jnp.take_along_axis(ts, pos_c, axis=1) * mask
     dt_out = jnp.take_along_axis(dts, pos_c, axis=1) * mask
 
@@ -189,7 +227,8 @@ def render_rays(
 
     if inherited is None:
         samples = march_rays(
-            occ.bitfield, rays_o, rays_d, nears, fars, rspec, perturb_key
+            occ.bitfield, rays_o, rays_d, nears, fars, rspec, perturb_key,
+            bitfield_dilated=occ.bitfield_dilated,
         )
     else:
         samples = inherited

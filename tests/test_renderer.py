@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from pvd_tpu.config import ModelSpec, RenderSpec
 from pvd_tpu.models import init_field
 from pvd_tpu.ops.aabb import near_far_from_aabb
+from pvd_tpu.render.occupancy import set_bitfield
 from pvd_tpu.render import (
     init_occupancy_state,
     march_rays,
@@ -127,7 +128,7 @@ def test_render_rays_shapes_and_bg():
     rspec = _spec()
     occ = init_occupancy_state(rspec)
     # everything occupied so rays do get samples
-    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    occ = set_bitfield(occ, jnp.ones_like(occ.bitfield))
     rng = np.random.default_rng(1)
     o = jnp.asarray(rng.uniform(-0.1, 0.1, (8, 3)).astype(np.float32) +
                     np.array([0, 0, -2.0], np.float32))
@@ -155,7 +156,7 @@ def test_render_rays_inherited_samples_align():
     params2 = init_field(jax.random.PRNGKey(3), spec2)
     rspec = _spec()
     occ = init_occupancy_state(rspec)
-    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    occ = set_bitfield(occ, jnp.ones_like(occ.bitfield))
     o = jnp.array([[0.0, 0, -2.0], [0.1, 0, -2.0]])
     d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
 
@@ -178,7 +179,7 @@ def test_render_stratified_runs_and_matches_grid_path_roughly():
     rspec = RenderSpec(bound=1.0, grid_size=32, max_steps=256, max_samples=256,
                        num_steps=256)
     occ = init_occupancy_state(rspec)
-    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    occ = set_bitfield(occ, jnp.ones_like(occ.bitfield))
     o = jnp.array([[0.0, 0, -2.0], [0.05, 0.05, -2.0]])
     d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
 
@@ -193,7 +194,7 @@ def test_stage_gated_outputs():
     spec, params = _tiny_model()
     rspec = _spec()
     occ = init_occupancy_state(rspec)
-    occ = occ.replace(bitfield=jnp.ones_like(occ.bitfield))
+    occ = set_bitfield(occ, jnp.ones_like(occ.bitfield))
     o = jnp.array([[0.0, 0, -2.0]])
     d = jnp.array([[0.0, 0, 1.0]])
     # stage 1: features only
@@ -205,3 +206,46 @@ def test_stage_gated_outputs():
     out2 = render_rays(params, spec, rspec, occ, o, d, training=True,
                        composite=False)
     assert "image" not in out2 and out2["rgb_l"] is not None
+
+
+def test_coarse_march_equals_full_march():
+    """The dilated two-stage march must produce exactly the same samples as
+    the full-lattice march (the dilation makes the coarse test conservative)."""
+    rspec = RenderSpec(bound=1.0, grid_size=32, max_steps=256, max_samples=32,
+                       density_thresh=0.01, coarse_march=True, coarse_stride=8)
+    H = rspec.grid_size
+    rng = np.random.default_rng(7)
+    bf = jnp.asarray((rng.uniform(size=(H * H * H,)) < 0.05))
+    occ = set_bitfield(init_occupancy_state(rspec), bf)
+
+    N = 64
+    o = rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32)
+    o[:, 2] = -2.5
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.5
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+
+    full = march_rays(bf, jnp.asarray(o), jnp.asarray(d), nears, fars, rspec)
+    coarse = march_rays(bf, jnp.asarray(o), jnp.asarray(d), nears, fars,
+                        rspec, bitfield_dilated=occ.bitfield_dilated)
+    np.testing.assert_array_equal(np.asarray(full.mask), np.asarray(coarse.mask))
+    np.testing.assert_allclose(np.asarray(full.t), np.asarray(coarse.t),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.delta_depth),
+                               np.asarray(coarse.delta_depth), atol=1e-6)
+
+
+def test_dilate_bitfield_is_cube_maxpool():
+    from pvd_tpu.render.occupancy import dilate_bitfield
+
+    H = 8
+    bf = np.zeros((H, H, H), bool)
+    bf[4, 2, 6] = True
+    out = np.asarray(dilate_bitfield(jnp.asarray(bf.reshape(-1)), H)).reshape(
+        H, H, H)
+    want = np.zeros_like(bf)
+    want[2:7, 0:5, 4:9 if 9 < H else H] = True
+    want[2:7, 0:5, 4:H] = True
+    np.testing.assert_array_equal(out, want)
