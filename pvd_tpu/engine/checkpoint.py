@@ -19,7 +19,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax

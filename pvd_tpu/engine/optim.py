@@ -16,8 +16,7 @@ Replaces torch AdamW + LambdaLR/CosineAnnealingLR + torch_ema
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

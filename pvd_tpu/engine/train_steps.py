@@ -16,9 +16,8 @@ host work — loss.item(), step counters — has no equivalent).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +164,7 @@ def make_teacher_step(
         metrics = {
             "loss": loss,
             "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+            "budget_hit": out["budget_hit_frac"],
         }
         return (
             state.replace(

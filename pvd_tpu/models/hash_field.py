@@ -7,7 +7,6 @@ Encoder config parity: 14 levels x 2 ch, base 16, desired res 2048*bound,
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from pvd_tpu.config import ModelSpec
 from pvd_tpu.models.common import init_mlp, mlp_dims

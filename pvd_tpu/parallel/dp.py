@@ -16,8 +16,6 @@ gather happens on-host (or upstream) and each device receives its slice.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

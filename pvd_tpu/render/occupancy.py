@@ -17,7 +17,6 @@ TPU-native redesign of the reference's density grid machinery
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax

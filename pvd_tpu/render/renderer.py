@@ -244,6 +244,10 @@ def render_rays(
 
     result = {
         "samples": samples,
+        # fraction of rays that exhausted the max_samples budget — a high
+        # value means the occupancy grid is too dense for the padded budget
+        # (e.g. density_thresh too low) and samples are being truncated
+        "budget_hit_frac": jnp.mean(samples.mask[:, -1].astype(jnp.float32)),
         "sigmas": out_f.sigma.reshape(N, S),
         "sigma_logit": out_f.sigma_logit.reshape(N, S),
         "fea_sc": None if out_f.fea_sc is None
