@@ -86,6 +86,9 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     # TPU-specific knobs
     p.add_argument("--max_samples", type=int, default=96,
                    help="padded per-ray sample budget (replaces mean_count)")
+    p.add_argument("--hash_cell_levels", type=int, default=0,
+                   help="finest hashed levels in cell-packed fast mode "
+                        "(1 gather/pt/level; 0 = reference parity)")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"])
     p.add_argument("--eval_interval", type=int, default=50)

@@ -45,6 +45,10 @@ class ModelSpec:
     hash_base_res: int = 16
     hash_log2_size: int = 19
     hash_desired_res: int = 2048
+    # TPU fast mode: finest N hashed levels use cell-packed storage
+    # (1 gather/point/level, same param count; features C0-discontinuous
+    # across subpixel-scale cells). 0 = exact reference parity.
+    hash_cell_levels: int = 0
     # mlp (NeRF) variant: PE 10, 8 layers x 256, skip 3
     pe_multires: int = 10
     nerf_layer_num: int = 8
@@ -174,6 +178,7 @@ class PVDConfig:
     update_stu_extra: bool = False  # refresh student occupancy in distill
     # TPU-specific
     max_samples: int = 96  # padded per-ray sample budget (see RenderSpec)
+    hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50
 
@@ -190,6 +195,7 @@ class PVDConfig:
         return ModelSpec(
             model_type=model_type or self.model_type,
             compute_dtype="bfloat16" if self.precision == "bf16" else "float32",
+            hash_cell_levels=self.hash_cell_levels,
             bound=self.bound,
             sigma_clip_min=self.sigma_clip_min,
             sigma_clip_max=self.sigma_clip_max,

@@ -22,14 +22,21 @@ def grid_spec(spec: ModelSpec) -> HashGridSpec:
         base_resolution=spec.hash_base_res,
         log2_hashmap_size=spec.hash_log2_size,
         desired_resolution=int(spec.hash_desired_res * spec.bound),
+        n_cell_levels=spec.hash_cell_levels,
     )
 
 
 def init(rng, spec: ModelSpec):
-    ks = jax.random.split(rng, 3)
+    ks = jax.random.split(rng, 4)
     gs = grid_spec(spec)
     in_dim = gs.output_dim
+    params = {}
+    if gs.cell_table_size:
+        from pvd_tpu.ops.hashgrid import init_cell_table
+
+        params["encoder_cell"] = init_cell_table(ks[3], gs)
     return {
+        **params,
         "encoder": init_hash_table(ks[0], gs),
         "sigma_net": init_mlp(
             ks[1],
@@ -49,7 +56,10 @@ def init(rng, spec: ModelSpec):
 
 def _encode(params, spec: ModelSpec, x):
     x01 = (x + spec.bound) / (2.0 * spec.bound)
-    return hash_encode(params["encoder"], x01, grid_spec(spec))
+    return hash_encode(
+        params["encoder"], x01, grid_spec(spec),
+        cell_table=params.get("encoder_cell"),
+    )
 
 
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):

@@ -44,6 +44,33 @@ class HashGridSpec:
     desired_resolution: int = 2048
     gridtype: str = "hash"  # "hash" | "tiled"
     align_corners: bool = False
+    # TPU fast mode: the finest `n_cell_levels` hashed levels store each
+    # CELL's 2^D corner features in one table row (ONE gather per point
+    # instead of 2^D), hashed by the cell base coordinate.  The cell table
+    # is 2^D-fold narrower-in-rows/wider-in-columns, so the parameter count
+    # per level is unchanged.  Features become C0-discontinuous across cell
+    # boundaries — restrict to levels whose cells are subpixel at render
+    # resolution.  0 = exact reference parity.
+    n_cell_levels: int = 0
+
+    @property
+    def log2_cell_size(self) -> int:
+        return self.log2_hashmap_size - self.input_dim
+
+    def level_is_hashed(self, level: int) -> bool:
+        # side^D > cap <=> the kernel's running stride outgrows the table
+        side = self.level_resolution(level) + (0 if self.align_corners else 1)
+        return (
+            self.gridtype == "hash"
+            and side**self.input_dim > 2**self.log2_hashmap_size
+        )
+
+    def is_cell_level(self, level: int) -> bool:
+        return (
+            self.n_cell_levels > 0
+            and level >= self.num_levels - self.n_cell_levels
+            and self.level_is_hashed(level)
+        )
 
     @property
     def per_level_scale(self) -> float:
@@ -74,11 +101,16 @@ class HashGridSpec:
 
     @property
     def offsets(self) -> np.ndarray:
-        """Cumulative level offsets [L+1], int64 (grid.py:176-196)."""
+        """Cumulative level offsets [L+1] in the corner table, int64
+        (grid.py:176-196).  Cell-mode levels occupy zero rows here — their
+        storage lives in the separate cell table."""
         offsets = [0]
         offset = 0
         max_params = 2**self.log2_hashmap_size
         for lvl in range(self.num_levels):
+            if self.is_cell_level(lvl):
+                offsets.append(offset)
+                continue
             res = int(np.ceil(self.base_resolution * self.per_level_scale**lvl))
             n = min(
                 max_params,
@@ -92,6 +124,18 @@ class HashGridSpec:
     @property
     def table_size(self) -> int:
         return int(self.offsets[-1])
+
+    @property
+    def cell_levels(self):
+        return [l for l in range(self.num_levels) if self.is_cell_level(l)]
+
+    @property
+    def cell_rows_per_level(self) -> int:
+        return 2**self.log2_cell_size
+
+    @property
+    def cell_table_size(self) -> int:
+        return len(self.cell_levels) * self.cell_rows_per_level
 
 
 def init_hash_table(rng, spec: HashGridSpec, dtype=jnp.float32):
@@ -240,7 +284,64 @@ def _corner_gather_sum_bwd(level_offsets, n_corners, res, g):
 _corner_gather_sum.defvjp(_corner_gather_sum_fwd, _corner_gather_sum_bwd)
 
 
-def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _cell_gather_sum(cell_table, rows, w, rows_per_level, n_corners):
+    """out[n, l, :] = sum_k w[n, l, k] * cell_table[rows[n, l], k*C:(k+1)*C].
+
+    One gather per (point, cell level); the per-level backward scatter
+    destination ([rows_per_level, K*C], <= 2^16 rows) is in XLA's fast
+    scatter regime without folding.
+    """
+    K = n_corners
+    N, L = rows.shape
+    KC = cell_table.shape[1]
+    C = KC // K
+    vals = jnp.take(cell_table, rows, axis=0)  # [N, L, K*C]
+    return jnp.sum(
+        vals.reshape(N, L, K, C) * w[..., None].astype(vals.dtype), axis=2
+    )
+
+
+def _cell_gather_sum_fwd(cell_table, rows, w, rows_per_level, n_corners):
+    return _cell_gather_sum(cell_table, rows, w, rows_per_level,
+                            n_corners), (cell_table, rows, w)
+
+
+def _cell_gather_sum_bwd(rows_per_level, n_corners, res, g):
+    cell_table, rows, w = res
+    K = n_corners
+    N, L = rows.shape
+    KC = cell_table.shape[1]
+    C = KC // K
+    vals = jnp.take(cell_table, rows, axis=0).reshape(N, L, K, C)
+    g_w = jnp.sum(vals * g[:, :, None, :], axis=-1).astype(w.dtype)
+    g_vals = (w[..., None] * g[:, :, None, :]).reshape(N, L, KC)
+    parts = []
+    for li in range(L):
+        off = li * rows_per_level
+        parts.append(
+            jnp.zeros((rows_per_level, KC), cell_table.dtype)
+            .at[rows[:, li] - jnp.int32(off)]
+            .add(g_vals[:, li].astype(cell_table.dtype), mode="drop")
+        )
+    return jnp.concatenate(parts, axis=0), None, g_w
+
+
+_cell_gather_sum.defvjp(_cell_gather_sum_fwd, _cell_gather_sum_bwd)
+
+
+def init_cell_table(rng, spec: HashGridSpec, dtype=jnp.float32):
+    """U(-1e-4, 1e-4) init for the cell-mode levels' table."""
+    D = spec.input_dim
+    return jax.random.uniform(
+        rng,
+        (spec.cell_table_size, (2**D) * spec.level_dim),
+        minval=-1e-4, maxval=1e-4, dtype=dtype,
+    )
+
+
+def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
+                cell_table=None):
     """Encode points through all levels.
 
     Args:
@@ -276,6 +377,7 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
     level_out: list = [None] * spec.num_levels
     hashed_rows, hashed_w, hashed_levels = [], [], []
     dense_base, dense_w, dense_levels = [], [], []
+    cell_rows, cell_w, cell_levels = [], [], []
 
     for level in range(spec.num_levels):
         scale = spec.level_scale(level)
@@ -290,7 +392,18 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
             axis=-1,
         )  # [N, 2^D]
 
-        if packed_dense and D == 3 and _is_dense(spec, level):
+        if spec.is_cell_level(level):
+            assert cell_table is not None, "cell levels need a cell_table"
+            h = jnp.zeros((x01.shape[0],), jnp.int32)
+            for dd in range(D):
+                h = h ^ (base_i[:, dd] * _i32(_PRIMES[dd]))
+            h = h & jnp.int32(spec.cell_rows_per_level - 1)
+            cell_rows.append(
+                h + jnp.int32(len(cell_levels) * spec.cell_rows_per_level)
+            )
+            cell_w.append(w)
+            cell_levels.append(level)
+        elif packed_dense and D == 3 and _is_dense(spec, level):
             res, _, strides, _, _ = _level_corner_plan(spec, level)
             side = res if spec.align_corners else res + 1
             flat = (
@@ -347,6 +460,15 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True):
         ) + (int(offsets[hashed_levels[-1] + 1]),)
         outs = _corner_gather_sum(table, rows, w, lvl_offsets, 2**D)
         for i, level in enumerate(hashed_levels):
+            level_out[level] = outs[:, i]
+
+    if cell_levels:
+        rows = jnp.stack(cell_rows, axis=1)  # [N, Lc]
+        w = jnp.stack(cell_w, axis=1)  # [N, Lc, 2^D]
+        outs = _cell_gather_sum(
+            cell_table, rows, w, spec.cell_rows_per_level, 2**D
+        )
+        for i, level in enumerate(cell_levels):
             level_out[level] = outs[:, i]
 
     out = jnp.concatenate(level_out, axis=-1)  # [N, L*C]
