@@ -37,7 +37,8 @@ def main():
         max_steps=1024, resolution0=300,
     )
     rspec = cfg.render_spec()
-    spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16")
+    spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
+                         hash_cell_levels=9)
     spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300), compute_dtype="bfloat16")
 
     k = jax.random.PRNGKey(0)
