@@ -298,10 +298,23 @@ def make_occ_update(spec: ModelSpec, rspec: RenderSpec):
 
 def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
     """Chunked full-image inference renderer (reference render staged path,
-    renderer.py:777-814 + the alive-ray inference loop it replaces)."""
+    renderer.py:777-814 + the alive-ray inference loop it replaces).
 
-    @jax.jit
-    def render_chunk(params, occ, o, d):
+    Ray generation happens INSIDE the jitted chunk from the scanline pixel
+    offset — eager full-image ray math costs two orders of magnitude more
+    than the render itself through a remote-TPU tunnel.
+    """
+    from functools import partial as _partial
+
+    from pvd_tpu.ops.rays import pixel_dirs
+
+    @_partial(jax.jit, static_argnames=("H", "W"))
+    def render_chunk(params, occ, pose, intr, head, H, W):
+        inds = head + jnp.arange(chunk)
+        inds = jnp.minimum(inds, H * W - 1)  # pad tail by repeating last px
+        dirs_cam = pixel_dirs(tuple(intr), inds, H, W)
+        d = dirs_cam @ pose[:3, :3].T
+        o = jnp.broadcast_to(pose[:3, 3], d.shape)
         out = render_rays(
             params, spec, rspec, occ, o, d, training=False, bg_color=1.0,
             early_stop=True,
@@ -311,21 +324,14 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
     def render_image(params, occ, pose, intrinsics, H, W):
         import numpy as np
 
-        rays = get_rays(
-            jax.random.PRNGKey(0), jnp.asarray(pose)[None], intrinsics, H, W, -1
-        )
-        o = rays["rays_o"][0]
-        d = rays["rays_d"][0]
-        n = o.shape[0]
+        pose_j = jnp.asarray(pose, jnp.float32)
+        intr = tuple(float(v) for v in intrinsics)
+        n = H * W
         imgs, deps = [], []
         for head in range(0, n, chunk):
             tail = min(head + chunk, n)
-            o_c, d_c = o[head:tail], d[head:tail]
-            pad = chunk - (tail - head)
-            if pad:
-                o_c = jnp.pad(o_c, ((0, pad), (0, 0)))
-                d_c = jnp.pad(d_c, ((0, pad), (0, 0)), constant_values=1.0)
-            img, dep = render_chunk(params, occ, o_c, d_c)
+            img, dep = render_chunk(params, occ, pose_j, intr,
+                                    jnp.int32(head), H, W)
             imgs.append(np.asarray(img[: tail - head]))
             deps.append(np.asarray(dep[: tail - head]))
         img = np.concatenate(imgs).reshape(H, W, 3)
