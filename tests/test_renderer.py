@@ -249,3 +249,28 @@ def test_dilate_bitfield_is_cube_maxpool():
     want[2:7, 0:5, 4:9 if 9 < H else H] = True
     want[2:7, 0:5, 4:H] = True
     np.testing.assert_array_equal(out, want)
+
+
+def test_background_model_renders():
+    """bg_radius > 0 routes the background through the learned sphere model."""
+    spec = ModelSpec(model_type="hash", hash_num_levels=4,
+                     hash_desired_res=64, bg_radius=32.0)
+    params = init_field(jax.random.PRNGKey(11), spec)
+    assert "bg" in params
+    rspec = _spec()
+    occ = set_bitfield(init_occupancy_state(rspec),
+                       jnp.ones((rspec.grid_size**3,), bool))
+    o = jnp.array([[0.0, 0, -2.0], [0.3, 0.1, -2.0]])
+    d = jnp.array([[0.0, 0, 1.0], [0.0, 0, 1.0]])
+    out = render_rays(params, spec, rspec, occ, o, d, training=True,
+                      perturb_key=jax.random.PRNGKey(1))
+    img = np.asarray(out["image"])
+    assert np.all(np.isfinite(img)) and img.shape == (2, 3)
+    # gradients reach the background net
+    def loss(p):
+        o_ = render_rays(p, spec, rspec, occ, o, d, training=True)
+        return jnp.sum(o_["image"])
+    g = jax.grad(loss)(params)
+    total_bg = sum(float(jnp.sum(jnp.abs(l)))
+                   for l in jax.tree_util.tree_leaves(g["bg"]))
+    assert np.isfinite(total_bg)
