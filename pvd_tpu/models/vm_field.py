@@ -119,12 +119,52 @@ def color_feat(params, spec: ModelSpec, xn):
     return (stacked @ params["basis_mat"]["w"].astype(cdt)).astype(jnp.float32)
 
 
+def _joint_feats(params, spec: ModelSpec, xn):
+    """Sigma and color features with FUSED plane/line fetches.
+
+    The sigma and color factorizations share resolutions and query
+    coordinates, so their packed tables are channel-concatenated per branch
+    and fetched with ONE gather per (branch, point) — half the row count of
+    querying them separately (the TPU gather engine is row-rate-bound).
+    """
+    from pvd_tpu.ops.packing import (
+        pack_line, pack_plane, sample_packed_line, sample_packed_plane,
+    )
+
+    cdt = jnp.dtype(spec.compute_dtype)
+    xn = jax.lax.stop_gradient(xn)
+    Rs = spec.vm_sigma_rank
+    sigma = 0.0
+    color_parts = []
+    for i in range(3):
+        m0, m1 = MAT_IDS[i]
+        v = VEC_IDS[i]
+        mat = jnp.concatenate(
+            [params["sigma_mat"][i], params["color_mat"][i]], axis=-1
+        )
+        vec = jnp.concatenate(
+            [params["sigma_vec"][i], params["color_vec"][i]], axis=-1
+        )
+        H, W, R = mat.shape
+        px = (xn[:, m0] + 1.0) * 0.5 * (W - 1)
+        py = (xn[:, m1] + 1.0) * 0.5 * (H - 1)
+        mf = sample_packed_plane(pack_plane(mat), H, W, R, px, py)
+        L = vec.shape[0]
+        pz = (xn[:, v] + 1.0) * 0.5 * (L - 1)
+        vf = sample_packed_line(pack_line(vec), L, R, pz)
+        prod = mf * vf  # [N, Rs + Rc]
+        sigma = sigma + jnp.sum(prod[:, :Rs], axis=-1)
+        color_parts.append(prod[:, Rs:])
+    stacked = jnp.concatenate(color_parts, axis=-1).astype(cdt)
+    color = (stacked @ params["basis_mat"]["w"].astype(cdt)).astype(jnp.float32)
+    return sigma, color
+
+
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):
     xn = _normalize(x, aabb)
-    s = jnp.clip(sigma_feat(params, xn), spec.sigma_clip_min, spec.sigma_clip_max)
-    c = jnp.clip(
-        color_feat(params, spec, xn), spec.sigma_clip_min, spec.sigma_clip_max
-    )
+    s_raw, c_raw = _joint_feats(params, spec, xn)
+    s = jnp.clip(s_raw, spec.sigma_clip_min, spec.sigma_clip_max)
+    c = jnp.clip(c_raw, spec.sigma_clip_min, spec.sigma_clip_max)
     fea_sc = jnp.concatenate([s[:, None], c], axis=-1)
     if not want_color:
         return FieldOut(trunc_exp(s), None, s, fea_sc)
