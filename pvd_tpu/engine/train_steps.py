@@ -178,6 +178,78 @@ def make_teacher_step(
     return step
 
 
+def make_teacher_step_host(
+    spec: ModelSpec,
+    rspec: RenderSpec,
+    opt: optax.GradientTransformation,
+    cfg: PVDConfig,
+    intrinsics,
+    H: int,
+    W: int,
+    image_channels: int,
+    ema_decay: float = -1.0,
+):
+    """Teacher step fed by host-side batches (preload=False path).
+
+    step(state, pose [4,4], inds [N] i32, pix [N,C], key): pixel indices
+    and GT pixels come from the native RayBatcher (data/raybatch.py)
+    instead of an on-device gather over device-resident images.
+    """
+    from pvd_tpu.ops.rays import pixel_dirs
+
+    intr = tuple(float(v) for v in intrinsics)
+
+    def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
+        out = render_rays(
+            params, spec, rspec, occ, rays_o, rays_d, training=True,
+            bg_color=bg, perturb_key=key,
+        )
+        loss = rgb_loss(out["image"], gt, cfg.loss_type)
+        if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
+            loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
+        return loss, out
+
+    @jax.jit
+    def step(state: TrainState, pose, inds, pix, key):
+        k_bg, k_perturb = jax.random.split(key)
+        dirs_cam = pixel_dirs(intr, inds, H, W)
+        d = dirs_cam @ pose[:3, :3].T
+        o = jnp.broadcast_to(pose[:3, 3], d.shape)
+        if cfg.color_space == "linear":
+            from pvd_tpu.utils.misc import srgb_to_linear
+
+            pix = jnp.concatenate(
+                [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
+            )
+        if image_channels == 4 and spec.bg_radius <= 0:
+            bg = jax.random.uniform(k_bg, (inds.shape[0], 3))
+            gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
+        else:
+            bg = 1.0
+            gt = pix[..., :3]
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.occ, o, d, gt, bg, k_perturb
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            from pvd_tpu.engine.optim import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+        }
+        return (
+            state.replace(params=params, opt_state=opt_state,
+                          step=state.step + 1, ema_params=ema),
+            metrics,
+        )
+
+    return step
+
+
 def make_distill_step(
     spec_stu: ModelSpec,
     spec_tea: ModelSpec,

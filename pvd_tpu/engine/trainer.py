@@ -264,15 +264,26 @@ class Trainer:
         rng_np = np.random.default_rng(cfg.seed)
         key = jax.random.PRNGKey(cfg.seed + 1)
 
+        batcher = None
         if self.mode == "teacher":
             self.state = self.state.replace(
                 occ=mark_untrained_grid(
                     self.state.occ, train_ds.poses, intr, self.rspec
                 )
             )
-            images = jnp.asarray(train_ds.images_flat())
-            C = int(images.shape[-1])
+            C = int(train_ds.images.shape[-1])
             poses = jnp.asarray(train_ds.poses)
+            if cfg.preload:
+                images = jnp.asarray(train_ds.images_flat())
+            else:
+                # host-side batch assembly (native C++ producer with numpy
+                # fallback) replaces the on-device image-resident gather
+                from pvd_tpu.data.raybatch import RayBatcher
+
+                batcher = RayBatcher(train_ds.images, cfg.num_rays,
+                                     seed=cfg.seed)
+                self.log(f"[data] host batching "
+                         f"({'native' if batcher.is_native else 'numpy'})")
             if cfg.error_map:
                 self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
         else:
@@ -301,6 +312,27 @@ class Trainer:
 
             idx = int(rng_np.integers(0, len(poses)))
             stage = self._stage_of(step)
+            if self.mode == "teacher" and batcher is not None:
+                from pvd_tpu.engine.train_steps import make_teacher_step_host
+
+                key2 = ("host", H, W, C)
+                if key2 not in self._steps:
+                    self._steps[key2] = make_teacher_step_host(
+                        self.spec_stu, self.rspec, self.opt, self.cfg, intr,
+                        H, W, image_channels=C, ema_decay=self.cfg.ema_decay,
+                    )
+                idx, inds, pix = batcher.next()
+                self.state, metrics = self._steps[key2](
+                    self.state, poses[idx], jnp.asarray(inds),
+                    jnp.asarray(pix), k_step,
+                )
+                self._maybe_vm_resize()
+                if step % 100 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    self.log(f"[{self.name}] step {step}/{total} "
+                             + " ".join(f"{k}={v:.4f}"
+                                        for k, v in sorted(m.items())))
+                continue
             step_fn = self._get_step_fn(stage, H, W, C, intr)
             if self.mode == "teacher":
                 emap = (
@@ -330,6 +362,8 @@ class Trainer:
                     for k, v in m.items():
                         self._tb.add_scalar(f"train/{k}", v, step)
 
+        if batcher is not None:
+            batcher.close()
         self.save()
         return self.state
 

@@ -113,3 +113,17 @@ def test_teacher_resume_roundtrip(teacher_run, scene, tmp_path_factory):
     )
     t2.load_student(path)
     assert int(t2.state.step) == 220
+
+
+def test_teacher_host_batching_path(scene, tmp_path_factory):
+    """preload=False: host-side (native C++ or numpy) batch assembly."""
+    ws = str(tmp_path_factory.mktemp("ws_hostbatch"))
+    cfg = _cfg(scene, ws, model_type="hash", iters=40, preload=False,
+               num_rays=256)
+    trainer = Trainer(cfg, mode="teacher")
+    ds = NeRFDataset(cfg, "train")
+    trainer.train(ds)
+    assert int(trainer.state.step) == 40
+    test_ds = NeRFDataset(cfg, "test")
+    stats = trainer.evaluate(test_ds)
+    assert np.isfinite(stats["psnr"])
