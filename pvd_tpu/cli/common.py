@@ -83,6 +83,41 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--plenoxel_res", type=str, default="[128,128,128]")
     p.add_argument("--data_type", type=str, default="synthetic")
     p.add_argument("--downscale", type=int, default=1)
+    # accepted-and-ignored flags for drop-in compatibility with reference
+    # launch scripts (GUI is CUDA-app-only; the rest are dead/vestigial in
+    # the reference too: main_just_train_tea.py:129-183)
+    for flag in ("--gui",):
+        p.add_argument(flag, action="store_true", help="ignored (GPU GUI)")
+    p.add_argument("--W", type=int, default=1920, help="ignored (GUI)")
+    p.add_argument("--H", type=int, default=1080, help="ignored (GUI)")
+    p.add_argument("--radius", type=float, default=5, help="ignored (GUI)")
+    p.add_argument("--fovy", type=float, default=50, help="ignored (GUI)")
+    p.add_argument("--max_spp", type=int, default=64, help="ignored (GUI)")
+    p.add_argument("--clip_text", type=str, default="", help="ignored")
+    p.add_argument("--rand_pose", type=int, default=-1,
+                   help="accepted; random-pose augmentation not yet wired")
+    p.add_argument("--loss_rate_fea", type=float, default=0.1,
+                   help="ignored (superseded by --loss_rate_fea_sc, as in "
+                        "the reference)")
+    p.add_argument("--L1_tensorAB_reg", type=float, default=1e-3,
+                   help="ignored (vestigial in the reference)")
+    p.add_argument("--use_sigma_clip", action="store_true", help="ignored")
+    p.add_argument("--nerf_pe", action="store_true", help="ignored")
+    p.add_argument("--use_real_gt", action="store_true", help="ignored")
+    p.add_argument("--use_diagonal_matrix", action="store_true",
+                   help="ignored")
+    p.add_argument("--loss_rate_real_gt", type=float, default=0,
+                   help="ignored")
+    p.add_argument("--test_metric", action="store_true", help="ignored")
+    p.add_argument("--residual", type=int, default=3, help="ignored")
+    p.add_argument("--use_upsample_vm", action="store_true",
+                   help="accepted (upsampling is driven by "
+                        "--upsample_model_steps)")
+    p.add_argument("--just_train_a_model", action="store_true",
+                   help="accepted (implicit in the teacher CLI)")
+    p.add_argument("--enable_edit_plenoxel", action="store_true",
+                   help="apply the plenoxel region-erase demo to tensors "
+                        "teachers (network.py:313-316)")
     # TPU-specific knobs
     p.add_argument("--max_samples", type=int, default=96,
                    help="padded per-ray sample budget (replaces mean_count)")

@@ -82,6 +82,13 @@ def main(argv=None):
     write_args_txt(cfg, cfg.workspace)
     save_codes_env(cfg.workspace)
     trainer.load_teacher(cfg.ckpt_teacher)
+    if cfg.enable_edit_plenoxel and cfg.teacher_type == "tensors":
+        # scene-editing demo: erase a region of the teacher volume before
+        # distilling (deletes the lego bucket; network.py:313-316)
+        from pvd_tpu.models.tensors_field import edit_erase_region
+
+        trainer.params_tea = edit_erase_region(trainer.params_tea)
+        trainer.log("[edit_plenoxel] teacher region erased")
     if cfg.ckpt_student:
         trainer.load_student(cfg.ckpt_student)
 

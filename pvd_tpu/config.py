@@ -176,6 +176,7 @@ class PVDConfig:
     ckpt_teacher: str = ""
     ckpt_student: str = ""
     update_stu_extra: bool = False  # refresh student occupancy in distill
+    enable_edit_plenoxel: bool = False  # plenoxel region-erase demo
     # TPU-specific
     max_samples: int = 96  # padded per-ray sample budget (see RenderSpec)
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
