@@ -91,6 +91,8 @@ def main(argv=None):
         trainer.log("[edit_plenoxel] teacher region erased")
     if cfg.ckpt_student:
         trainer.load_student(cfg.ckpt_student)
+    elif cfg.ckpt == "latest":
+        trainer.try_resume()
 
     train_ds = NeRFDataset(cfg, "train", downscale=cfg.downscale)
     trainer.train(train_ds)
