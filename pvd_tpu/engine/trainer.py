@@ -367,6 +367,29 @@ class Trainer:
         self.save()
         return self.state
 
+    def _write_video(self, path: str, frames, fps: int = 21):
+        """mp4 via imageio when an ffmpeg backend exists, else cv2
+        (reference writes videos at fps 21, utils.py:1282-1329)."""
+        import cv2
+
+        try:
+            import imageio
+
+            imageio.mimwrite(path, np.stack(frames), fps=fps, quality=8)
+            return
+        except Exception:
+            pass
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not vw.isOpened():
+            self.log(f"[evaluate] video write skipped (no codec): {path}")
+            return
+        for f in frames:
+            vw.write(f[..., ::-1])
+        vw.release()
+        self.log(f"[evaluate] wrote {path} (cv2)")
+
     # ------------------------------------------------------------------
     def evaluate(self, ds, use_teacher: bool = False, save_dir: Optional[str] = None,
                  write_video: bool = False):
@@ -409,19 +432,12 @@ class Trainer:
             depth_frames.append(d8)
 
         if write_video and frames:
-            try:
-                import imageio
-
-                imageio.mimwrite(
-                    os.path.join(save_dir, f"{self.name}_video.mp4"),
-                    np.stack(frames), fps=21, quality=8,
-                )
-                imageio.mimwrite(
-                    os.path.join(save_dir, f"{self.name}_video_depth.mp4"),
-                    np.stack(depth_frames), fps=21, quality=8,
-                )
-            except Exception as e:  # codec availability varies
-                self.log(f"[evaluate] video write skipped: {e}")
+            self._write_video(
+                os.path.join(save_dir, f"{self.name}_video.mp4"), frames)
+            self._write_video(
+                os.path.join(save_dir, f"{self.name}_video_depth.mp4"),
+                [np.repeat(f[..., None], 3, axis=-1) for f in depth_frames],
+            )
 
         self.stats = {
             "psnr": meter.measure(),
