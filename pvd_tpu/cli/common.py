@@ -130,6 +130,24 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     return p
 
 
+def upsample_schedule(cfg: PVDConfig):
+    """Log-spaced scalar resolution targets resolution0 -> resolution1, one
+    per scheduled upsample step (main_just_train_tea.py:320-334 and
+    main_distill_mutual.py:367-382 — both pipelines use the same schedule).
+    The Trainer converts each scalar to a per-axis resolution from the
+    current (shrunk) aabb at upsample time (distill_mutual/utils.py:884-895).
+    """
+    import numpy as np
+
+    n = len(cfg.upsample_model_steps)
+    if n == 0:
+        return []
+    return np.round(
+        np.exp(np.linspace(np.log(cfg.resolution0),
+                           np.log(cfg.resolution1), n + 1))
+    ).astype(int).tolist()[1:]
+
+
 def to_config(args) -> PVDConfig:
     fields = {f.name for f in PVDConfig.__dataclass_fields__.values()}
     raw = {k: v for k, v in vars(args).items() if k in fields}
@@ -165,11 +183,12 @@ def save_codes_env(workspace: str):
 
 
 def finalize_run(trainer, cfg: PVDConfig):
-    """Append metrics + rename workspace with the PSNR suffix
-    (main_just_train_tea.py:347-354)."""
+    """Write final metrics + rename workspace with the PSNR suffix
+    (main_just_train_tea.py:347-354).  Metrics go to a separate
+    metrics.json so args.json stays valid JSON for --load_args."""
     stats = trainer.stats
-    with open(os.path.join(cfg.workspace, "args.json"), "a") as f:
-        f.write("\n// final metrics: " + json.dumps(stats))
+    with open(os.path.join(cfg.workspace, "metrics.json"), "w") as f:
+        json.dump(stats, f, indent=2)
     if stats.get("psnr"):
         dst = f"{cfg.workspace}-psnr{stats['psnr']:.2f}"
         try:

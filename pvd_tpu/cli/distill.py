@@ -94,8 +94,17 @@ def main(argv=None):
     elif cfg.ckpt == "latest":
         trainer.try_resume()
 
+    # VM progressive upsample schedule (main_distill_mutual.py:367-382)
+    from pvd_tpu.cli.common import upsample_schedule
+
+    trainer.upsample_resolutions = upsample_schedule(cfg)
+
     train_ds = NeRFDataset(cfg, "train", downscale=cfg.downscale)
-    trainer.train(train_ds)
+    try:
+        valid_ds = NeRFDataset(cfg, "val", downscale=cfg.downscale)
+    except Exception:
+        valid_ds = None  # dataset has no val split
+    trainer.train(train_ds, valid_ds=valid_ds)
 
     test_ds = NeRFDataset(cfg, "test", downscale=cfg.downscale)
     trainer.evaluate(test_ds, write_video=True)

@@ -37,17 +37,15 @@ def main(argv=None):
 
     # VM progressive upsample schedule: log-spaced resolution0->resolution1
     # (main_just_train_tea.py:320-334)
-    if cfg.upsample_model_steps:
-        import numpy as np
+    from pvd_tpu.cli.common import upsample_schedule
 
-        n = len(cfg.upsample_model_steps)
-        res = np.round(
-            np.exp(np.linspace(np.log(cfg.resolution0),
-                               np.log(cfg.resolution1), n + 1))
-        ).astype(int).tolist()[1:]
-        trainer.upsample_resolutions = res
+    trainer.upsample_resolutions = upsample_schedule(cfg)
 
-    trainer.train(train_ds)
+    try:
+        valid_ds = NeRFDataset(cfg, "val", downscale=cfg.downscale)
+    except Exception:
+        valid_ds = None  # dataset has no val split
+    trainer.train(train_ds, valid_ds=valid_ds)
     test_ds = NeRFDataset(cfg, "test", downscale=cfg.downscale)
     trainer.evaluate(test_ds, write_video=True)
     finalize_run(trainer, cfg)

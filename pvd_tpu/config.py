@@ -146,6 +146,11 @@ class PVDConfig:
     bg_radius: float = -1.0
     grid_size: int = 128
     error_map: bool = False
+    # <0 no random-pose augmentation; 0 only random orbit poses; >0 inject
+    # one orbit pose per `rand_pose` scheduled poses (distillation only —
+    # the reference's teacher-side use requires its disabled CLIP loss,
+    # distill_mutual/utils.py:666-671)
+    rand_pose: int = -1
     data_type: str = "synthetic"  # synthetic | llff | tank
     downscale: int = 1
     # model

@@ -42,7 +42,10 @@ def save_checkpoint(
     stats: Optional[dict] = None,
     config_json: Optional[str] = None,
     max_keep: int = 2,
+    filename: Optional[str] = None,
 ) -> str:
+    """Write a checkpoint.  With `filename` (e.g. '{name}_best.ckpt') the
+    file is written under that fixed name and exempt from step retention."""
     os.makedirs(path_dir, exist_ok=True)
     payload = {
         "step": int(step),
@@ -60,13 +63,14 @@ def save_checkpoint(
         "stats": stats or {},
         "config_json": config_json,
     }
-    path = os.path.join(path_dir, f"{name}_step{step:08d}.ckpt")
+    path = os.path.join(path_dir, filename or f"{name}_step{step:08d}.ckpt")
     with open(path, "wb") as f:
         pickle.dump(payload, f)
 
-    old = sorted(glob.glob(os.path.join(path_dir, f"{name}_step*.ckpt")))
-    for p in old[:-max_keep]:
-        os.remove(p)
+    if filename is None:
+        old = sorted(glob.glob(os.path.join(path_dir, f"{name}_step*.ckpt")))
+        for p in old[:-max_keep]:
+            os.remove(p)
     return path
 
 

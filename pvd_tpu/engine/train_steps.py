@@ -82,6 +82,23 @@ def rgb_loss(pred, gt, loss_type: str):
     raise ValueError(f"unknown loss_type {loss_type}")
 
 
+def compose_gt(pix, image_channels: int, bg_radius: float, k_bg):
+    """GT pixel compositing for teacher training (just_train_tea/
+    utils.py:777-787): every RGBA image composites rgb*a + bg*(1-a), with a
+    white bg when a background model exists (bg_radius > 0) and a per-pixel
+    random bg otherwise.  Returns (gt [N,3], bg — scalar or [N,3] — to pass
+    to the renderer)."""
+    if image_channels == 4:
+        bg = (1.0 if bg_radius > 0
+              else jax.random.uniform(k_bg, (pix.shape[0], 3)))
+        gt = pix[..., :3] * pix[..., 3:] + jnp.asarray(bg) * (
+            1.0 - pix[..., 3:])
+    else:
+        bg = 1.0
+        gt = pix[..., :3]
+    return gt, bg
+
+
 def make_teacher_step(
     spec: ModelSpec,
     rspec: RenderSpec,
@@ -133,12 +150,7 @@ def make_teacher_step(
             pix = jnp.concatenate(
                 [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
             )
-        if image_channels == 4 and spec.bg_radius <= 0:
-            bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
-            gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
-        else:
-            bg = 1.0
-            gt = pix[..., :3]
+        gt, bg = compose_gt(pix, image_channels, spec.bg_radius, k_bg)
 
         (loss, (out, per_ray)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -221,12 +233,7 @@ def make_teacher_step_host(
             pix = jnp.concatenate(
                 [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
             )
-        if image_channels == 4 and spec.bg_radius <= 0:
-            bg = jax.random.uniform(k_bg, (inds.shape[0], 3))
-            gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
-        else:
-            bg = 1.0
-            gt = pix[..., :3]
+        gt, bg = compose_gt(pix, image_channels, spec.bg_radius, k_bg)
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.occ, o, d, gt, bg, k_perturb
         )
@@ -261,6 +268,7 @@ def make_distill_step(
     W: int,
     stage: int,
     ema_decay: float = -1.0,
+    use_error_map: bool = False,
 ):
     """Returns jitted step(state, params_tea, occ_tea, pose, key) for one
     distillation stage (1: features, 2: +point sigma/color, 3: +RGB).
@@ -268,6 +276,12 @@ def make_distill_step(
     Stage-1 is disabled upstream (by the CLI) when either side is 'tensors'
     (main_distill_mutual.py:243-246); both sides of stage 1/2 share the
     student's marched samples so point tensors are shape-aligned.
+
+    With use_error_map the signature becomes
+    step(state, params_tea, occ_tea, pose, emap [128*128], key) ->
+    (state, new_emap, logs): rays are importance-sampled from the error map
+    and — at stage 3 with L2 loss — the per-ray rgb loss EMA-updates the
+    sampled coarse cells (distill_mutual/utils.py:1120-1130).
     """
     assert stage in (1, 2, 3)
     intr = tuple(float(v) for v in intrinsics)
@@ -312,8 +326,10 @@ def make_distill_step(
             logs["loss_sigma"] = l_sigma
             logs["loss_color"] = l_color
 
+        per_ray = None
         if stage == 3:
             l_rgb = rgb_loss(out_s["image"], out_t["image"], cfg.loss_type)
+            per_ray = jnp.mean((out_s["image"] - out_t["image"]) ** 2, axis=-1)
             loss = loss + cfg.loss_rate_rgb * l_rgb
             if spec_stu.model_type == "vm" and cfg.l1_reg_weight > 0:
                 loss = loss + cfg.l1_reg_weight * vm_density_l1(params_stu)
@@ -323,17 +339,15 @@ def make_distill_step(
             )
 
         logs["loss"] = loss
-        return loss, logs
+        return loss, (logs, per_ray)
 
-    @jax.jit
-    def step_fn(state: TrainState, params_tea, occ_tea, pose, key):
-        k_rays, k_bg, k_perturb = jax.random.split(key, 3)
-        rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays)
-        o, d = rays["rays_o"][0], rays["rays_d"][0]
+    def _core(state: TrainState, params_tea, occ_tea, o, d, key):
+        k_bg, k_perturb = jax.random.split(key)
         # synthetic data always has alpha -> random background per step
         bg = jax.random.uniform(k_bg, (cfg.num_rays, 3))
-
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (logs, per_ray)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(
             state.params, params_tea, state.occ, occ_tea, o, d, bg,
             k_perturb, state.step,
         )
@@ -344,15 +358,47 @@ def make_distill_step(
             from pvd_tpu.engine.optim import ema_update
 
             ema = ema_update(ema, params, ema_decay)
-        return (
-            state.replace(
-                params=params, opt_state=opt_state, step=state.step + 1,
-                ema_params=ema,
-            ),
-            logs,
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            ema_params=ema,
         )
+        return new_state, logs, per_ray
 
-    return step_fn
+    if not use_error_map:
+
+        @jax.jit
+        def step_fn(state: TrainState, params_tea, occ_tea, pose, key):
+            k_rays, k_core = jax.random.split(key)
+            rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays)
+            new_state, logs, _ = _core(
+                state, params_tea, occ_tea, rays["rays_o"][0],
+                rays["rays_d"][0], k_core,
+            )
+            return new_state, logs
+
+        return step_fn
+
+    @jax.jit
+    def step_fn_emap(state: TrainState, params_tea, occ_tea, pose, emap, key):
+        k_rays, k_core = jax.random.split(key)
+        rays = get_rays(k_rays, pose[None], intr, H, W, cfg.num_rays,
+                        error_map=emap[None])
+        new_state, logs, per_ray = _core(
+            state, params_tea, occ_tea, rays["rays_o"][0], rays["rays_d"][0],
+            k_core,
+        )
+        new_emap = emap
+        if stage == 3 and cfg.loss_type == "L2":
+            # EMA-update the sampled coarse cells with the per-ray rgb loss
+            # (distill_mutual/utils.py:1120-1130)
+            coarse = rays["inds_coarse"][0]
+            old = emap[coarse]
+            new_emap = emap.at[coarse].set(
+                0.1 * old + 0.9 * jax.lax.stop_gradient(per_ray)
+            )
+        return new_state, new_emap, logs
+
+    return step_fn_emap
 
 
 def make_occ_update(spec: ModelSpec, rspec: RenderSpec):

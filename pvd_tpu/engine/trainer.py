@@ -137,23 +137,42 @@ class Trainer:
         payload = ckpt.load_checkpoint(path)
         self.params_tea = payload["params"]
         self.occ_tea = payload["occ"]
+        params = ckpt.warm_start_student(self.state.params, self.params_tea)
         self.state = self.state.replace(
-            params=ckpt.warm_start_student(self.state.params, self.params_tea),
+            params=params,
             occ=payload["occ"],
-        )
-        self.state = self.state.replace(
-            opt_state=self.opt.init(self.state.params)
+            opt_state=self.opt.init(params),
+            # re-seed EMA from the warm-started weights (the reference's EMA
+            # wraps the freshly-loaded model, distill_mutual/utils.py:1545+)
+            ema_params=(
+                jax.tree_util.tree_map(jnp.array, params)
+                if self.state.ema_params is not None else None
+            ),
         )
         self.log(f"[load_teacher] {path} (step {payload['step']})")
 
     def load_student(self, path: str):
         payload = ckpt.load_checkpoint(path)
+        ema = None
+        if self.state.ema_params is not None:
+            # restore saved EMA weights; fall back to a copy of the loaded
+            # params when the checkpoint predates EMA
+            ema = payload.get("ema_params")
+            if ema is None:
+                ema = jax.tree_util.tree_map(jnp.array, payload["params"])
         self.state = self.state.replace(
             params=payload["params"],
             occ=payload["occ"],
             step=jnp.int32(payload["step"]),
             opt_state=self.opt.init(payload["params"]),
+            ema_params=ema,
         )
+        if self.spec_stu.model_type == "vm":
+            # derive the live resolution from the loaded plane/line shapes
+            # (the reference stores `resolution` in its ckpt, utils.py:1542)
+            m0 = payload["params"]["sigma_mat"][0]
+            v0 = payload["params"]["sigma_vec"][0]
+            self.vm_resolution = (m0.shape[1], m0.shape[0], v0.shape[0])
         self.log(f"[load_student] {path} (step {payload['step']})")
 
     def save(self, stats: Optional[dict] = None) -> str:
@@ -201,22 +220,21 @@ class Trainer:
                     self.spec_stu, self.spec_tea, self.rspec, self.opt,
                     self.cfg, intr, H, W, stage=stage,
                     ema_decay=self.cfg.ema_decay,
+                    use_error_map=self.cfg.error_map,
                 )
         return self._steps[key]
 
-    def _maybe_update_occ(self, key):
-        step = int(self.state.step)
+    def _maybe_update_occ(self, step: int, key):
         if step % self.cfg.update_extra_interval == 0:
             full = int(self.state.occ.iter_density) < 16
             self.state = self.state.replace(
                 occ=self._occ_update(self.state.occ, self.state.params, key, full)
             )
 
-    def _maybe_vm_resize(self):
+    def _maybe_vm_resize(self, step: int):
         """Scheduled shrink+upsample for VM students (utils.py:682-704)."""
         if self.spec_stu.model_type != "vm" or not self.upsample_steps:
             return
-        step = int(self.state.step)
         if step not in self.upsample_steps:
             return
         i = self.upsample_steps.index(step)
@@ -246,8 +264,15 @@ class Trainer:
             self.log(f"[vm shrink] aabb -> {new_aabb.tolist()} "
                      f"res -> {self.vm_resolution}")
         if target is not None:
-            params = upsample_params(self.state.params, (target,) * 3)
-            self.vm_resolution = (target,) * 3
+            # aabb-adaptive per-axis resolution: equal-volume voxels at the
+            # scheduled voxel count inside the (shrunk) aabb
+            # (distill_mutual/utils.py:884-895)
+            cur_aabb = np.asarray(self.state.occ.aabb_train)
+            size = cur_aabb[3:] - cur_aabb[:3]
+            vox = float(np.cbrt(np.prod(size) / float(target) ** 3))
+            reso = tuple(int(v) for v in (size / vox).astype(np.int64))
+            params = upsample_params(self.state.params, reso)
+            self.vm_resolution = reso
             self.state = self.state.replace(params=params)
             self.log(f"[vm upsample] res -> {self.vm_resolution}")
         # parameter shapes changed: rebuild optimizer state
@@ -256,6 +281,55 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def _distill_epoch_poses(self, rng_np, train_ds) -> np.ndarray:
+        """Fresh random viewpoints for one distillation epoch
+        (utils.py:723-735), plus optional --rand_pose orbit injection.
+
+        rand_pose semantics (vestigial in the reference — only referenced
+        from a disabled CLIP block, distill_mutual/utils.py:666-671; we wire
+        the documented intent where supervision exists, i.e. distillation):
+        0 = only orbit poses; >0 = one extra orbit pose per `rand_pose`
+        scheduled poses.  Orbit radius 3.2 matches the NGP-space distance of
+        the scale-0.8 radius-4 synthetic sweep."""
+        from pvd_tpu.data.poses import rand_orbit_poses
+
+        cfg = self.cfg
+        poses = get_rand_poses(rng_np, cfg.data_type, train_ds.poses)
+        if cfg.rand_pose == 0:
+            return rand_orbit_poses(rng_np, len(poses), radius=3.2)
+        if cfg.rand_pose > 0:
+            extra = rand_orbit_poses(
+                rng_np, max(1, len(poses) // cfg.rand_pose), radius=3.2
+            )
+            poses = np.concatenate([poses, extra], axis=0)
+        return poses
+
+    def _eval_and_track_best(self, valid_ds):
+        """Mid-training eval + best-by-PSNR checkpoint with EMA weights
+        swapped in (reference eval-epoch + save_checkpoint(best=True),
+        just_train_tea/utils.py:536-538, distill_mutual/utils.py:1450-1471)."""
+        stats = self.evaluate(valid_ds)
+        psnr = stats.get("psnr", 0.0)
+        if psnr > self.best_psnr:
+            self.best_psnr = psnr
+            best_params = (
+                self.state.ema_params
+                if self.state.ema_params is not None else self.state.params
+            )
+            path = ckpt.save_checkpoint(
+                os.path.join(self.workspace, "checkpoints"),
+                self.name,
+                int(self.state.step),
+                best_params,
+                self.state.occ,
+                ema_params=self.state.ema_params,
+                stats=stats,
+                config_json=self.cfg.to_json(),
+                filename=f"{self.name}_best.ckpt",
+            )
+            self.log(f"[best] psnr={psnr:.2f} -> {path}")
+        return stats
+
     def train(self, train_ds, valid_ds=None, max_steps: Optional[int] = None):
         cfg = self.cfg
         total = max_steps or cfg.iters
@@ -263,9 +337,16 @@ class Trainer:
         intr = train_ds.intrinsics
         rng_np = np.random.default_rng(cfg.seed)
         key = jax.random.PRNGKey(cfg.seed + 1)
+        self.best_psnr = getattr(self, "best_psnr", -1.0)
 
         batcher = None
+        images = None
         if self.mode == "teacher":
+            if cfg.rand_pose >= 0:
+                self.log("[warn] --rand_pose has no effect on teacher "
+                         "training: unsupervised poses need the CLIP loss "
+                         "the reference ships disabled "
+                         "(distill_mutual/utils.py:666-671)")
             self.state = self.state.replace(
                 occ=mark_untrained_grid(
                     self.state.occ, train_ds.poses, intr, self.rspec
@@ -284,83 +365,113 @@ class Trainer:
                                      seed=cfg.seed)
                 self.log(f"[data] host batching "
                          f"({'native' if batcher.is_native else 'numpy'})")
+                if cfg.error_map:
+                    self.log("[warn] --error_map needs --preload; the host "
+                             "batcher samples pixels uniformly (importance "
+                             "sampling disabled this run)")
             if cfg.error_map:
                 self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
         else:
             C = 4
-            poses = jnp.asarray(
-                get_rand_poses(rng_np, cfg.data_type, train_ds.poses)
-            )
+            poses = jnp.asarray(self._distill_epoch_poses(rng_np, train_ds))
+            if cfg.error_map:
+                # per-pose-slot importance map, EMA-updated by the stage-3
+                # rgb loss (distill_mutual/utils.py:1120-1130)
+                self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
 
         t_start = time.time()
+        # host-side step counter: reading state.step back every iteration is
+        # a D2H round-trip per step through the remote-TPU tunnel
+        step = int(self.state.step)
         epoch_len = len(poses)
-        while int(self.state.step) < total:
-            step = int(self.state.step)
+        epoch = step // max(epoch_len, 1)
+        while step < total:
+            epoch += 1
             # fresh random poses per epoch for distillation (utils.py:723-735)
-            if self.mode == "distill" and step > 0 and step % epoch_len == 0:
-                poses = jnp.asarray(
-                    get_rand_poses(rng_np, cfg.data_type, train_ds.poses)
-                )
+            if self.mode == "distill" and step > 0:
+                poses = jnp.asarray(self._distill_epoch_poses(rng_np, train_ds))
+                if self.error_map is not None and len(poses) != epoch_len:
+                    self.error_map = jnp.ones(
+                        (len(poses), 128 * 128), jnp.float32
+                    )
                 epoch_len = len(poses)
 
-            key, k_occ, k_step = jax.random.split(key, 3)
-            # teacher mode always refreshes its grid; distill students keep
-            # the teacher-inherited grid unless update_stu_extra is set
-            # (distill_mutual/utils.py:790-794, default off)
-            if self.mode == "teacher" or cfg.update_stu_extra:
-                self._maybe_update_occ(k_occ)
+            steps_this_epoch = min(epoch_len, total - step)
+            for _ in range(steps_this_epoch):
+                key, k_occ, k_step = jax.random.split(key, 3)
+                # teacher mode always refreshes its grid; distill students
+                # keep the teacher-inherited grid unless update_stu_extra is
+                # set (distill_mutual/utils.py:790-794, default off)
+                if self.mode == "teacher" or cfg.update_stu_extra:
+                    self._maybe_update_occ(step, k_occ)
 
-            idx = int(rng_np.integers(0, len(poses)))
-            stage = self._stage_of(step)
-            if self.mode == "teacher" and batcher is not None:
-                from pvd_tpu.engine.train_steps import make_teacher_step_host
-
-                key2 = ("host", H, W, C)
-                if key2 not in self._steps:
-                    self._steps[key2] = make_teacher_step_host(
-                        self.spec_stu, self.rspec, self.opt, self.cfg, intr,
-                        H, W, image_channels=C, ema_decay=self.cfg.ema_decay,
+                idx = int(rng_np.integers(0, len(poses)))
+                stage = self._stage_of(step)
+                if self.mode == "teacher" and batcher is not None:
+                    from pvd_tpu.engine.train_steps import (
+                        make_teacher_step_host,
                     )
-                idx, inds, pix = batcher.next()
-                self.state, metrics = self._steps[key2](
-                    self.state, poses[idx], jnp.asarray(inds),
-                    jnp.asarray(pix), k_step,
-                )
-                self._maybe_vm_resize()
+
+                    key2 = ("host", H, W, C)
+                    if key2 not in self._steps:
+                        self._steps[key2] = make_teacher_step_host(
+                            self.spec_stu, self.rspec, self.opt, self.cfg,
+                            intr, H, W, image_channels=C,
+                            ema_decay=self.cfg.ema_decay,
+                        )
+                    idx, inds, pix = batcher.next()
+                    self.state, metrics = self._steps[key2](
+                        self.state, poses[idx], jnp.asarray(inds),
+                        jnp.asarray(pix), k_step,
+                    )
+                elif self.mode == "teacher":
+                    step_fn = self._get_step_fn(stage, H, W, C, intr)
+                    emap = (
+                        self.error_map[idx] if self.error_map is not None
+                        else jnp.zeros((128 * 128,), jnp.float32)
+                    )
+                    self.state, emap, metrics = step_fn(
+                        self.state, poses[idx], images[idx], emap, k_step
+                    )
+                    if self.error_map is not None:
+                        self.error_map = self.error_map.at[idx].set(emap)
+                else:
+                    step_fn = self._get_step_fn(stage, H, W, C, intr)
+                    if self.error_map is not None:
+                        self.state, emap, metrics = step_fn(
+                            self.state, self.params_tea, self.occ_tea,
+                            poses[idx], self.error_map[idx], k_step,
+                        )
+                        self.error_map = self.error_map.at[idx].set(emap)
+                    else:
+                        self.state, metrics = step_fn(
+                            self.state, self.params_tea, self.occ_tea,
+                            poses[idx], k_step,
+                        )
+                self._maybe_vm_resize(step + 1)
+
                 if step % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    self.log(f"[{self.name}] step {step}/{total} "
-                             + " ".join(f"{k}={v:.4f}"
-                                        for k, v in sorted(m.items())))
-                continue
-            step_fn = self._get_step_fn(stage, H, W, C, intr)
-            if self.mode == "teacher":
-                emap = (
-                    self.error_map[idx] if self.error_map is not None
-                    else jnp.zeros((128 * 128,), jnp.float32)
-                )
-                self.state, emap, metrics = step_fn(
-                    self.state, poses[idx], images[idx], emap, k_step
-                )
-                if self.error_map is not None:
-                    self.error_map = self.error_map.at[idx].set(emap)
-            else:
-                self.state, metrics = step_fn(
-                    self.state, self.params_tea, self.occ_tea, poses[idx],
-                    k_step,
-                )
-            self._maybe_vm_resize()
+                    msg = " ".join(f"{k}={v:.4f}"
+                                   for k, v in sorted(m.items()))
+                    self.log(
+                        f"[{self.name}] step {step}/{total} stage{stage} "
+                        f"{msg} ({(time.time()-t_start):.1f}s)"
+                    )
+                    if self._tb is not None:
+                        for k, v in m.items():
+                            self._tb.add_scalar(f"train/{k}", v, step)
+                step += 1
 
-            if step % 100 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
-                self.log(
-                    f"[{self.name}] step {step}/{total} stage{stage} {msg} "
-                    f"({(time.time()-t_start):.1f}s)"
-                )
-                if self._tb is not None:
-                    for k, v in m.items():
-                        self._tb.add_scalar(f"train/{k}", v, step)
+            # epoch boundary: interval checkpoints near the end of training
+            # (reference saves at the last 2 epochs, utils.py:527-534) and
+            # periodic eval + best tracking
+            if step >= total - 2 * epoch_len or step >= total:
+                self.save()
+            if valid_ds is not None and (
+                epoch % cfg.eval_interval == 0 or step >= total
+            ):
+                self._eval_and_track_best(valid_ds)
 
         if batcher is not None:
             batcher.close()
@@ -439,15 +550,16 @@ class Trainer:
                 [np.repeat(f[..., None], 3, axis=-1) for f in depth_frames],
             )
 
+        lpips_na = "unavailable (no lpips weights in this image)"
         self.stats = {
             "psnr": meter.measure(),
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
-            "lpips_alex": float(np.mean(lp_a)) if lp_a else None,
-            "lpips_vgg": float(np.mean(lp_v)) if lp_v else None,
+            "lpips_alex": float(np.mean(lp_a)) if lp_a else lpips_na,
+            "lpips_vgg": float(np.mean(lp_v)) if lp_v else lpips_na,
         }
         self.log(f"[evaluate:{self.name}] {self.stats}")
         if self._tb is not None:
             for k, v in self.stats.items():
-                if v is not None:
+                if isinstance(v, (int, float)):
                     self._tb.add_scalar(f"eval/{k}", v, int(self.state.step))
         return self.stats
