@@ -4,6 +4,12 @@ Headline metric from BASELINE.md: >= 2 Mrays/sec/chip on TPU for hash->vm
 distillation (train + render: every step renders the student AND the teacher
 on the student's samples, then backprops the student).
 
+Measured at the DEFAULT production config (4096 rays/step — the reference
+distill default, main_distill_mutual.py:56-61 — S_max=96, global sample
+budget 16/ray) on a clustered occupancy grid shaped like a converged
+Synthetic-NeRF scene (a shell-and-blobs object at ~4% occupancy), not a
+uniform-random bitfield.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever jax.default_backend() provides (the axon TPU in this
 environment; CPU fallback works but is slow).
@@ -15,42 +21,55 @@ import time
 import numpy as np
 
 
+def object_like_bitfield(H: int) -> np.ndarray:
+    """Deterministic ~4% occupancy clustered like a trained object grid:
+    a thick spherical shell plus a few solid blobs near the center."""
+    g = np.zeros((H, H, H), bool)
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    g |= (r > 0.42) & (r < 0.5)  # shell
+    rng = np.random.default_rng(7)
+    for _ in range(6):  # interior blobs
+        c = rng.uniform(-0.3, 0.3, 3)
+        rad = rng.uniform(0.08, 0.16)
+        g |= ((X - c[0]) ** 2 + (Y - c[1]) ** 2 + (Z - c[2]) ** 2) < rad**2
+    return g.reshape(-1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from pvd_tpu.config import ModelSpec, PVDConfig, RenderSpec
+    from pvd_tpu.config import ModelSpec, PVDConfig
     from pvd_tpu.engine.optim import build_optimizer, cosine_schedule
     from pvd_tpu.engine.train_steps import TrainState, make_distill_step
     from pvd_tpu.models import init_field
     from pvd_tpu.models.api import param_group_label, trainable_label
+    from pvd_tpu.models.hash_field import attach_packed
     from pvd_tpu.render import init_occupancy_state
+    from pvd_tpu.render.occupancy import set_bitfield
 
     NUM_RAYS = 4096  # reference distill default (main_distill_mutual.py:56-61)
-    MAX_SAMPLES = 32
     H, W = 800, 800
     ITERS = 30
     WARMUP = 5
 
-    cfg = PVDConfig(
-        num_rays=NUM_RAYS, max_samples=MAX_SAMPLES, grid_size=128,
-        max_steps=1024, resolution0=300,
-    )
+    cfg = PVDConfig(num_rays=NUM_RAYS, grid_size=128, max_steps=1024,
+                    resolution0=300)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
                          hash_cell_levels=9)
-    spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300), compute_dtype="bfloat16")
+    spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300),
+                         compute_dtype="bfloat16")
 
     k = jax.random.PRNGKey(0)
-    params_tea = init_field(jax.random.fold_in(k, 0), spec_tea)
+    params_tea = attach_packed(init_field(jax.random.fold_in(k, 0), spec_tea),
+                               spec_tea)
     params_stu = init_field(jax.random.fold_in(k, 1), spec_stu)
 
-    occ = init_occupancy_state(rspec)
-    # ~3% occupancy, typical of a converged Synthetic-NeRF grid
-    occ = occ.replace(
-        bitfield=jax.random.uniform(jax.random.fold_in(k, 2),
-                                    occ.bitfield.shape) < 0.03
-    )
+    occ = set_bitfield(init_occupancy_state(rspec),
+                       jnp.asarray(object_like_bitfield(rspec.grid_size)))
 
     opt = build_optimizer(
         params_stu,
@@ -62,17 +81,34 @@ def main():
     state = TrainState(params=params_stu, opt_state=opt.init(params_stu),
                        occ=occ, step=jnp.int32(0))
 
-    step_fn = make_distill_step(
-        spec_stu, spec_tea, rspec, opt, cfg,
-        intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
-    )
-
     # camera orbit pose (synthetic convention)
     from pvd_tpu.data.poses import pose_spherical
     from pvd_tpu.ops.rays import nerf_matrix_to_ngp
 
     pose = jnp.asarray(nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0),
                                           scale=0.8))
+
+    # settle the sample-budget buckets exactly as the (default-on) trainer
+    # autotuner would, from probe steps on this occupancy grid
+    from pvd_tpu.engine.autotune import retune
+
+    def build_step(rs):
+        return make_distill_step(
+            spec_stu, spec_tea, rs, opt, cfg,
+            intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
+        )
+
+    step_fn = build_step(rspec)
+    key = jax.random.PRNGKey(2)
+    for _ in range(4):
+        key, kk = jax.random.split(key)
+        state, logs = step_fn(state, params_tea, occ, pose, kk)
+        new_rs = retune(rspec, float(logs["budget_hit"]),
+                        float(logs["mask_frac"]))
+        if new_rs is None:
+            break
+        rspec = new_rs
+        step_fn = build_step(rspec)
 
     key = jax.random.PRNGKey(1)
     for i in range(WARMUP):
@@ -95,7 +131,8 @@ def main():
             {
                 "metric": "hash->vm distill train-step throughput "
                 f"({jax.default_backend()}, {NUM_RAYS} rays/step, "
-                f"S_max={MAX_SAMPLES})",
+                f"S_max={rspec.max_samples}, "
+                f"budget={rspec.sample_budget(NUM_RAYS)})",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec/chip",
                 "vs_baseline": round(rays_per_sec / 2.0e6, 4),

@@ -95,7 +95,9 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--max_spp", type=int, default=64, help="ignored (GUI)")
     p.add_argument("--clip_text", type=str, default="", help="ignored")
     p.add_argument("--rand_pose", type=int, default=-1,
-                   help="accepted; random-pose augmentation not yet wired")
+                   help="orbit-pose injection into distill epochs (0 = only "
+                        "orbit poses; >0 = one per N scheduled; teacher mode "
+                        "warns — needs the reference's disabled CLIP loss)")
     p.add_argument("--loss_rate_fea", type=float, default=0.1,
                    help="ignored (superseded by --loss_rate_fea_sc, as in "
                         "the reference)")
@@ -127,6 +129,15 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"])
     p.add_argument("--eval_interval", type=int, default=50)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel devices over the ray axis "
+                        "(0 = all local devices)")
+    p.add_argument("--samples_per_ray", type=float, default=16.0,
+                   help="global sample budget per ray (mean_count analog; "
+                        "0 disables compaction)")
+    p.add_argument("--no_autotune_budget", dest="autotune_budget",
+                   action="store_false",
+                   help="freeze S_max / sample budget (no bucket adaptation)")
     return p
 
 

@@ -27,7 +27,6 @@ class ModelSpec:
 
     model_type: str = "hash"
     bound: float = 1.0
-    compute_dtype: str = "float32"  # MLP/matmul precision; params stay fp32
     sigma_clip_min: float = -2.0
     sigma_clip_max: float = 7.0
     geo_feat_dim: int = 15
@@ -49,6 +48,10 @@ class ModelSpec:
     # (1 gather/point/level, same param count; features C0-discontinuous
     # across subpixel-scale cells). 0 = exact reference parity.
     hash_cell_levels: int = 0
+    # gather-path dtype for hash/cell tables (None = float32 rows): bf16
+    # rows are 32B and run the v5e gather engine ~1.4x faster; interpolation
+    # arithmetic stays f32 either way
+    hash_gather_dtype: Optional[str] = None
     # mlp (NeRF) variant: PE 10, 8 layers x 256, skip 3
     pe_multires: int = 10
     nerf_layer_num: int = 8
@@ -98,12 +101,19 @@ class RenderSpec:
     num_steps: int = 512
     upsample_steps: int = 0
     bg_radius: float = -1.0
-    # coarse-to-fine marching: test a dilated occupancy field at
-    # `coarse_stride` lattice spacing first, then fine-test only candidate
-    # windows (exact thanks to the dilation; auto-disabled for dt_gamma>0
-    # or multi-cascade scenes)
+    # probe marching (single-cascade, dt_gamma==0): ONE packed-neighborhood
+    # gather per `probe_stride` lattice points resolves the exact occupancy
+    # of the whole window (the 5^3-bit masks in OccupancyState); stride is
+    # auto-clamped so a window never leaves the probe's +-2-cell reach
     coarse_march: bool = True
+    probe_stride: int = 16
+    # legacy two-stage dilated path (multi-cascade fallback)
     coarse_stride: int = 8
+    # global valid-sample compaction: field networks run on the first
+    # round(samples_per_ray * n_rays) valid samples of the batch instead of
+    # the padded [N, max_samples] block (0 = off).  The analog of the
+    # reference's mean_count point-buffer cap (raymarching.py:233-238).
+    samples_per_ray: float = 0.0
 
     @property
     def cascades(self) -> int:
@@ -114,6 +124,30 @@ class RenderSpec:
         return (
             self.coarse_march and self.dt_gamma == 0.0 and self.cascades == 1
         )
+
+    @property
+    def effective_probe_stride(self) -> int:
+        """Largest power-of-two stride <= probe_stride whose window half-span
+        (stride/2 * dt_min) stays within the 2-cell neighbor-mask reach."""
+        dt_min = 2.0 * math.sqrt(3.0) / self.max_steps
+        cell = 2.0 * min(1.0, self.bound) / self.grid_size
+        f = 1
+        while (
+            f * 2 <= self.probe_stride
+            and f * 2 <= self.max_steps
+            and (f * 2) / 2.0 * dt_min <= 2.0 * cell
+            and self.max_steps % (f * 2) == 0
+        ):
+            f *= 2
+        return f
+
+    def sample_budget(self, n_rays: int) -> int:
+        """Static compacted-point count for a batch (multiple of 128)."""
+        if self.samples_per_ray <= 0:
+            return 0
+        m = int(round(n_rays * self.samples_per_ray))
+        m = max(128, (m + 127) // 128 * 128)
+        return min(m, n_rays * self.max_samples)
 
 
 @dataclasses.dataclass
@@ -184,6 +218,17 @@ class PVDConfig:
     enable_edit_plenoxel: bool = False  # plenoxel region-erase demo
     # TPU-specific
     max_samples: int = 96  # padded per-ray sample budget (see RenderSpec)
+    # global sample budget: field networks run on the first
+    # round(samples_per_ray * num_rays) valid samples per batch (the
+    # mean_count cap analog; 0 disables compaction).  16 is ~2x the
+    # measured batch mean on trained occupancy grids.
+    samples_per_ray: float = 16.0
+    # adapt max_samples / samples_per_ray buckets to measured occupancy
+    # stats during training (the reference's mean_count auto-tuning analog)
+    autotune_budget: bool = True
+    # data parallelism over the ray axis: 1 = single chip, 0 = all local
+    # devices, >1 = that many devices (parallel/dp.py shard_map steps)
+    n_devices: int = 1
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50
@@ -202,6 +247,9 @@ class PVDConfig:
             model_type=model_type or self.model_type,
             compute_dtype="bfloat16" if self.precision == "bf16" else "float32",
             hash_cell_levels=self.hash_cell_levels,
+            # measured on v5e: bf16 table rows gather 2x SLOWER than f32
+            # (the engine punishes sub-word rows), so this stays None
+            hash_gather_dtype=None,
             bound=self.bound,
             sigma_clip_min=self.sigma_clip_min,
             sigma_clip_max=self.sigma_clip_max,
@@ -224,6 +272,7 @@ class PVDConfig:
             dt_gamma=self.dt_gamma,
             max_steps=self.max_steps,
             max_samples=self.max_samples,
+            samples_per_ray=self.samples_per_ray,
             num_steps=self.num_steps,
             upsample_steps=self.upsample_steps,
             bg_radius=self.bg_radius,

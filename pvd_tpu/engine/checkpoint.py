@@ -29,6 +29,11 @@ from pvd_tpu.render.occupancy import OccupancyState
 
 
 def _to_numpy(tree):
+    if isinstance(tree, dict):
+        # '_'-prefixed entries are derived caches (e.g. the teacher's
+        # '_packed' gather table, models/hash_field.attach_packed) — never
+        # persisted; they are rebuilt after load
+        tree = {k: v for k, v in tree.items() if not k.startswith("_")}
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
@@ -91,7 +96,7 @@ def latest_checkpoint(path_dir: str, name: str) -> Optional[str]:
 def load_checkpoint(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    from pvd_tpu.render.occupancy import dilate_bitfield
+    from pvd_tpu.render.occupancy import build_neighbor_masks, dilate_bitfield
 
     occ_d = payload["occ"]
     bitfield = jnp.asarray(occ_d["bitfield"])
@@ -102,6 +107,8 @@ def load_checkpoint(path: str):
         bitfield_dilated=jnp.asarray(
             occ_d["bitfield_dilated"]
         ) if "bitfield_dilated" in occ_d else dilate_bitfield(bitfield, H),
+        # derived, never persisted: rebuild from the bitfield
+        neighbor_masks=build_neighbor_masks(bitfield, H),
         mean_density=jnp.float32(occ_d["mean_density"]),
         iter_density=jnp.int32(occ_d["iter_density"]),
         aabb_train=jnp.asarray(occ_d["aabb_train"]),

@@ -81,12 +81,13 @@ def occupancy_from_state_dict(sd: Dict, rspec: RenderSpec,
     b = rspec.bound
     aabb = jnp.asarray(
         np.asarray(sd.get("aabb_train", [-b, -b, -b, b, b, b]), np.float32))
-    from pvd_tpu.render.occupancy import dilate_bitfield
+    from pvd_tpu.render.occupancy import build_neighbor_masks, dilate_bitfield
 
     return OccupancyState(
         density_grid=grid,
         bitfield=bitfield,
         bitfield_dilated=dilate_bitfield(bitfield, H),
+        neighbor_masks=build_neighbor_masks(bitfield, H),
         mean_density=jnp.float32(mean_density),
         iter_density=jnp.int32(16),
         aabb_train=aabb,

@@ -99,6 +99,96 @@ def compose_gt(pix, image_channels: int, bg_radius: float, k_bg):
     return gt, bg
 
 
+def teacher_loss(params, spec: ModelSpec, rspec: RenderSpec, cfg: PVDConfig,
+                 occ, o, d, gt, bg, key):
+    """Single source of truth for the teacher objective — used verbatim by
+    the single-chip step and the shard_map data-parallel step, so DP-vs-
+    single equivalence is structural."""
+    out = render_rays(
+        params, spec, rspec, occ, o, d, training=True,
+        bg_color=bg, perturb_key=key,
+    )
+    per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
+    if cfg.loss_type == "L2":
+        loss = jnp.mean(per_ray)
+    else:
+        loss = rgb_loss(out["image"], gt, cfg.loss_type)
+    if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
+        loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
+    return loss, (out, per_ray)
+
+
+def distill_loss(params_stu, params_tea, spec_stu: ModelSpec,
+                 spec_tea: ModelSpec, rspec: RenderSpec, cfg: PVDConfig,
+                 stage: int, occ, occ_tea, o, d, bg, key, step):
+    """Single source of truth for the 3-stage distillation objective
+    (distill_mutual/utils.py:954-1189) — shared by the single-chip and
+    shard_map DP steps."""
+    both_have_fea = "tensors" not in (spec_stu.model_type,
+                                      spec_tea.model_type)
+    want_color = stage >= 2
+    composite = stage == 3
+
+    out_s = render_rays(
+        params_stu, spec_stu, rspec, occ, o, d, training=True,
+        bg_color=bg, perturb_key=key, want_color=want_color,
+        composite=composite,
+    )
+    out_t = render_rays(
+        params_tea, spec_tea, rspec, occ_tea, o, d, training=True,
+        bg_color=bg, want_color=want_color, composite=composite,
+        inherited=out_s["samples"],
+        inherited_compact=out_s["compact"],
+    )
+    out_t = jax.lax.stop_gradient(out_t)
+    # [N, S] padded mask, or the [M] compacted-slot mask when the global
+    # sample budget is on — point tensors match either way
+    mask = out_s["mask"]
+
+    # feature-loss rate decays x0.995 per step (utils.py:41-42, 1044)
+    rate_fea = cfg.loss_rate_fea_sc * 0.995 ** step.astype(jnp.float32)
+
+    loss = 0.0
+    logs = {
+        "budget_hit": out_s["budget_hit_frac"],
+        "mask_frac": out_s["mask_frac"],
+    }
+    if "compact_frac" in out_s:
+        logs["compact_frac"] = out_s["compact_frac"]
+    if both_have_fea:
+        l_fea = masked_loss(out_s["fea_sc"], out_t["fea_sc"], mask,
+                            cfg.loss_type)
+        loss = loss + rate_fea * l_fea
+        logs["loss_fea_sc"] = l_fea
+    else:
+        logs["loss_fea_sc"] = jnp.float32(0.0)
+
+    if stage >= 2:
+        l_sigma = masked_loss(out_s["sigma_logit"], out_t["sigma_logit"],
+                              mask, cfg.loss_type)
+        l_color = masked_loss(out_s["rgb_l"], out_t["rgb_l"], mask,
+                              cfg.loss_type)
+        loss = loss + cfg.loss_rate_sigma * l_sigma
+        loss = loss + cfg.loss_rate_color * l_color
+        logs["loss_sigma"] = l_sigma
+        logs["loss_color"] = l_color
+
+    per_ray = None
+    if stage == 3:
+        l_rgb = rgb_loss(out_s["image"], out_t["image"], cfg.loss_type)
+        per_ray = jnp.mean((out_s["image"] - out_t["image"]) ** 2, axis=-1)
+        loss = loss + cfg.loss_rate_rgb * l_rgb
+        if spec_stu.model_type == "vm" and cfg.l1_reg_weight > 0:
+            loss = loss + cfg.l1_reg_weight * vm_density_l1(params_stu)
+        logs["loss_rgb"] = l_rgb
+        logs["psnr"] = -10.0 * jnp.log10(
+            jnp.mean((out_s["image"] - out_t["image"]) ** 2) + 1e-12
+        )
+
+    logs["loss"] = loss
+    return loss, (logs, per_ray)
+
+
 def make_teacher_step(
     spec: ModelSpec,
     rspec: RenderSpec,
@@ -121,18 +211,8 @@ def make_teacher_step(
     intr = tuple(float(v) for v in intrinsics)
 
     def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
-        out = render_rays(
-            params, spec, rspec, occ, rays_o, rays_d, training=True,
-            bg_color=bg, perturb_key=key,
-        )
-        per_ray = jnp.mean((out["image"] - gt) ** 2, axis=-1)  # [N]
-        if cfg.loss_type == "L2":
-            loss = jnp.mean(per_ray)
-        else:
-            loss = rgb_loss(out["image"], gt, cfg.loss_type)
-        if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
-            loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
-        return loss, (out, per_ray)
+        return teacher_loss(params, spec, rspec, cfg, occ, rays_o, rays_d,
+                            gt, bg, key)
 
     @jax.jit
     def step(state: TrainState, pose, image_flat, emap, key):
@@ -177,7 +257,10 @@ def make_teacher_step(
             "loss": loss,
             "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
             "budget_hit": out["budget_hit_frac"],
+            "mask_frac": out["mask_frac"],
         }
+        if "compact_frac" in out:
+            metrics["compact_frac"] = out["compact_frac"]
         return (
             state.replace(
                 params=params, opt_state=opt_state, step=state.step + 1,
@@ -212,13 +295,8 @@ def make_teacher_step_host(
     intr = tuple(float(v) for v in intrinsics)
 
     def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
-        out = render_rays(
-            params, spec, rspec, occ, rays_o, rays_d, training=True,
-            bg_color=bg, perturb_key=key,
-        )
-        loss = rgb_loss(out["image"], gt, cfg.loss_type)
-        if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
-            loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
+        loss, (out, _) = teacher_loss(params, spec, rspec, cfg, occ, rays_o,
+                                      rays_d, gt, bg, key)
         return loss, out
 
     @jax.jit
@@ -247,7 +325,11 @@ def make_teacher_step_host(
         metrics = {
             "loss": loss,
             "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+            "budget_hit": out["budget_hit_frac"],
+            "mask_frac": out["mask_frac"],
         }
+        if "compact_frac" in out:
+            metrics["compact_frac"] = out["compact_frac"]
         return (
             state.replace(params=params, opt_state=opt_state,
                           step=state.step + 1, ema_params=ema),
@@ -285,61 +367,11 @@ def make_distill_step(
     """
     assert stage in (1, 2, 3)
     intr = tuple(float(v) for v in intrinsics)
-    both_have_fea = "tensors" not in (spec_stu.model_type, spec_tea.model_type)
-    want_color = stage >= 2
-    composite = stage == 3
 
     def loss_fn(params_stu, params_tea, occ, occ_tea, o, d, bg, key, step):
-        out_s = render_rays(
-            params_stu, spec_stu, rspec, occ, o, d, training=True,
-            bg_color=bg, perturb_key=key, want_color=want_color,
-            composite=composite,
-        )
-        out_t = render_rays(
-            params_tea, spec_tea, rspec, occ_tea, o, d, training=True,
-            bg_color=bg, want_color=want_color, composite=composite,
-            inherited=out_s["samples"],
-        )
-        out_t = jax.lax.stop_gradient(out_t)
-        mask = out_s["samples"].mask
-
-        # feature-loss rate decays x0.995 per step (utils.py:41-42, 1044)
-        rate_fea = cfg.loss_rate_fea_sc * 0.995 ** step.astype(jnp.float32)
-
-        loss = 0.0
-        logs = {}
-        if both_have_fea:
-            l_fea = masked_loss(out_s["fea_sc"], out_t["fea_sc"], mask,
-                                cfg.loss_type)
-            loss = loss + rate_fea * l_fea
-            logs["loss_fea_sc"] = l_fea
-        else:
-            logs["loss_fea_sc"] = jnp.float32(0.0)
-
-        if stage >= 2:
-            l_sigma = masked_loss(out_s["sigma_logit"], out_t["sigma_logit"],
-                                  mask, cfg.loss_type)
-            l_color = masked_loss(out_s["rgb_l"], out_t["rgb_l"], mask,
-                                  cfg.loss_type)
-            loss = loss + cfg.loss_rate_sigma * l_sigma
-            loss = loss + cfg.loss_rate_color * l_color
-            logs["loss_sigma"] = l_sigma
-            logs["loss_color"] = l_color
-
-        per_ray = None
-        if stage == 3:
-            l_rgb = rgb_loss(out_s["image"], out_t["image"], cfg.loss_type)
-            per_ray = jnp.mean((out_s["image"] - out_t["image"]) ** 2, axis=-1)
-            loss = loss + cfg.loss_rate_rgb * l_rgb
-            if spec_stu.model_type == "vm" and cfg.l1_reg_weight > 0:
-                loss = loss + cfg.l1_reg_weight * vm_density_l1(params_stu)
-            logs["loss_rgb"] = l_rgb
-            logs["psnr"] = -10.0 * jnp.log10(
-                jnp.mean((out_s["image"] - out_t["image"]) ** 2) + 1e-12
-            )
-
-        logs["loss"] = loss
-        return loss, (logs, per_ray)
+        return distill_loss(params_stu, params_tea, spec_stu, spec_tea,
+                            rspec, cfg, stage, occ, occ_tea, o, d, bg, key,
+                            step)
 
     def _core(state: TrainState, params_tea, occ_tea, o, d, key):
         k_bg, k_perturb = jax.random.split(key)

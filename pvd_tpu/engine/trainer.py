@@ -105,14 +105,34 @@ class Trainer:
         self.upsample_resolutions: list = []
         self.upsample_steps: list = list(cfg.upsample_model_steps)
 
-        self._occ_update = make_occ_update(self.spec_stu, self.rspec)
-        self._eval_render = make_eval_renderer(
-            self.spec_stu, self.rspec, chunk=cfg.max_ray_batch
-        )
-        self._eval_render_tea = (
-            make_eval_renderer(self.spec_tea, self.rspec, chunk=cfg.max_ray_batch)
-            if mode == "distill" else None
-        )
+        # data-parallel mesh over the ray axis (n_devices > 1); params and
+        # occupancy replicate, ray batches shard (parallel/dp.py)
+        self.mesh = None
+        n_dev = cfg.n_devices
+        if n_dev == 0:  # auto: all local devices
+            n_dev = jax.local_device_count()
+        if n_dev > 1:
+            from pvd_tpu.parallel import make_ray_mesh
+
+            self.mesh = make_ray_mesh(n_dev)
+            if cfg.num_rays % n_dev:
+                new_rays = ((cfg.num_rays + n_dev - 1) // n_dev) * n_dev
+                self.log(f"[mesh] num_rays {cfg.num_rays} -> {new_rays} "
+                         f"(rounded up to n_devices={n_dev})")
+                cfg.num_rays = new_rays
+            if cfg.error_map:
+                self.log("[warn] --error_map is host-global; data-parallel "
+                         "runs sample rays uniformly (importance sampling "
+                         "disabled)")
+                cfg.error_map = False
+            if not cfg.preload:
+                self.log("[mesh] preload forced on: the host batcher is "
+                         "single-stream; DP samples pixels in-shard")
+                cfg.preload = True
+            self.log(f"[mesh] data-parallel over {n_dev} devices "
+                     f"({cfg.num_rays // n_dev} rays/device)")
+
+        self._rebuild_renderers()
         self._steps = {}
         self.stats = {}
         self.error_map = None  # [B, 128*128] device array when cfg.error_map
@@ -138,6 +158,11 @@ class Trainer:
         self.params_tea = payload["params"]
         self.occ_tea = payload["occ"]
         params = ckpt.warm_start_student(self.state.params, self.params_tea)
+        if self.spec_tea.model_type == "hash":
+            # frozen teacher: prebuild the packed-dense gather table once
+            from pvd_tpu.models.hash_field import attach_packed
+
+            self.params_tea = attach_packed(self.params_tea, self.spec_tea)
         self.state = self.state.replace(
             params=params,
             occ=payload["occ"],
@@ -209,7 +234,24 @@ class Trainer:
     def _get_step_fn(self, stage: int, H: int, W: int, C: int, intr):
         key = (stage, H, W, C)
         if key not in self._steps:
-            if self.mode == "teacher":
+            if self.mesh is not None:
+                from pvd_tpu.parallel import (
+                    make_dp_distill_step, make_dp_teacher_step,
+                )
+
+                if self.mode == "teacher":
+                    self._steps[key] = make_dp_teacher_step(
+                        self.spec_stu, self.rspec, self.opt, self.cfg,
+                        self.mesh, intr, H, W, image_channels=C,
+                        ema_decay=self.cfg.ema_decay,
+                    )
+                else:
+                    self._steps[key] = make_dp_distill_step(
+                        self.spec_stu, self.spec_tea, self.rspec, self.opt,
+                        self.cfg, self.mesh, intr, H, W, stage=stage,
+                        ema_decay=self.cfg.ema_decay,
+                    )
+            elif self.mode == "teacher":
                 self._steps[key] = make_teacher_step(
                     self.spec_stu, self.rspec, self.opt, self.cfg, intr, H, W,
                     image_channels=C, ema_decay=self.cfg.ema_decay,
@@ -230,6 +272,65 @@ class Trainer:
             self.state = self.state.replace(
                 occ=self._occ_update(self.state.occ, self.state.params, key, full)
             )
+
+    def _maybe_autotune(self, step: int, metrics: Optional[dict]):
+        """Adapt S_max and the global sample budget to the measured
+        occupancy statistics (engine/autotune.py; runs at the occ-update
+        cadence — one host readback per interval)."""
+        from pvd_tpu.engine.autotune import retune
+
+        if not self.cfg.autotune_budget or metrics is None:
+            return
+        if "mask_frac" not in metrics:  # step flavor without budget stats
+            return
+        if step % self.cfg.update_extra_interval != 0:
+            return
+        rs = self.rspec
+        budget_hit = float(metrics.get("budget_hit", 0.0))
+        mask_frac = float(metrics.get("mask_frac", 0.0))
+        # brief shrink-freeze after an escalation (hysteresis)
+        cooldown = getattr(self, "_autotune_cooldown", 0)
+        new_rs = retune(rs, budget_hit, mask_frac, allow_shrink=cooldown == 0)
+        self._autotune_cooldown = max(0, cooldown - 1)
+        if new_rs is not None:
+            if new_rs.max_samples > rs.max_samples:
+                self._autotune_cooldown = 4
+            self.rspec = new_rs
+            self._steps.clear()
+            self._rebuild_renderers()
+            self.log(f"[autotune] S_max {rs.max_samples}->"
+                     f"{new_rs.max_samples} budget/ray {rs.samples_per_ray}"
+                     f"->{new_rs.samples_per_ray} "
+                     f"(budget_hit={budget_hit:.3f} mask_frac={mask_frac:.3f})")
+
+    def _rebuild_renderers(self):
+        from pvd_tpu.engine.train_steps import (
+            make_eval_renderer, make_occ_update,
+        )
+
+        if self.mesh is not None:
+            from pvd_tpu.parallel import (
+                make_dp_eval_renderer, make_dp_occ_update,
+            )
+
+            self._occ_update = make_dp_occ_update(
+                self.spec_stu, self.rspec, self.mesh)
+            self._eval_render = make_dp_eval_renderer(
+                self.spec_stu, self.rspec, self.mesh,
+                chunk=self.cfg.max_ray_batch)
+            self._eval_render_tea = (
+                make_dp_eval_renderer(self.spec_tea, self.rspec, self.mesh,
+                                      chunk=self.cfg.max_ray_batch)
+                if self.mode == "distill" else None)
+            return
+        self._occ_update = make_occ_update(self.spec_stu, self.rspec)
+        self._eval_render = make_eval_renderer(
+            self.spec_stu, self.rspec, chunk=self.cfg.max_ray_batch
+        )
+        self._eval_render_tea = (
+            make_eval_renderer(self.spec_tea, self.rspec,
+                               chunk=self.cfg.max_ray_batch)
+            if self.mode == "distill" else None)
 
     def _maybe_vm_resize(self, step: int):
         """Scheduled shrink+upsample for VM students (utils.py:682-704)."""
@@ -399,6 +500,8 @@ class Trainer:
             steps_this_epoch = min(epoch_len, total - step)
             for _ in range(steps_this_epoch):
                 key, k_occ, k_step = jax.random.split(key, 3)
+                self._maybe_autotune(step, getattr(self, "_last_metrics",
+                                                   None))
                 # teacher mode always refreshes its grid; distill students
                 # keep the teacher-inherited grid unless update_stu_extra is
                 # set (distill_mutual/utils.py:790-794, default off)
@@ -423,6 +526,11 @@ class Trainer:
                     self.state, metrics = self._steps[key2](
                         self.state, poses[idx], jnp.asarray(inds),
                         jnp.asarray(pix), k_step,
+                    )
+                elif self.mode == "teacher" and self.mesh is not None:
+                    step_fn = self._get_step_fn(stage, H, W, C, intr)
+                    self.state, metrics = step_fn(
+                        self.state, poses[idx], images[idx], k_step
                     )
                 elif self.mode == "teacher":
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
@@ -449,6 +557,7 @@ class Trainer:
                             poses[idx], k_step,
                         )
                 self._maybe_vm_resize(step + 1)
+                self._last_metrics = metrics
 
                 if step % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}

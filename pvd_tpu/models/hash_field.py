@@ -7,6 +7,7 @@ Encoder config parity: 14 levels x 2 ch, base 16, desired res 2048*bound,
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from pvd_tpu.config import ModelSpec
 from pvd_tpu.models.common import init_mlp, mlp_dims
@@ -23,6 +24,7 @@ def grid_spec(spec: ModelSpec) -> HashGridSpec:
         log2_hashmap_size=spec.hash_log2_size,
         desired_resolution=int(spec.hash_desired_res * spec.bound),
         n_cell_levels=spec.hash_cell_levels,
+        gather_dtype=spec.hash_gather_dtype,
     )
 
 
@@ -54,11 +56,36 @@ def init(rng, spec: ModelSpec):
     }
 
 
+def attach_packed(params, spec: ModelSpec):
+    """Precompute the packed-dense gather table for a FROZEN hash model.
+
+    The distillation Trainer calls this once on the loaded teacher params;
+    _encode then skips the in-graph table rebuild every step.  The extra
+    '_packed' entry is a plain array leaf (jit/pytree friendly) and must not
+    be checkpointed (engine/checkpoint strips it).
+    """
+    from pvd_tpu.ops.hashgrid import build_packed_dense
+
+    gs = grid_spec(spec)
+    dtype = jnp.dtype(gs.gather_dtype) if gs.gather_dtype else None
+    packed, _ = build_packed_dense(params["encoder"], gs, dtype=dtype)
+    if packed is None:
+        return params
+    return {**params, "_packed": packed}
+
+
 def _encode(params, spec: ModelSpec, x):
+    from pvd_tpu.ops.hashgrid import packed_level_offsets
+
     x01 = (x + spec.bound) / (2.0 * spec.bound)
+    gs = grid_spec(spec)
+    prebuilt = None
+    if "_packed" in params:
+        prebuilt = (params["_packed"], packed_level_offsets(gs))
     return hash_encode(
-        params["encoder"], x01, grid_spec(spec),
+        params["encoder"], x01, gs,
         cell_table=params.get("encoder_cell"),
+        prebuilt_packed=prebuilt,
     )
 
 

@@ -72,51 +72,84 @@ def _normalize(x, aabb):
     return 2.0 * (x - aabb[:3]) / (aabb[3:] - aabb[:3]) - 1.0
 
 
-def _plane_line_feats(mats: List, vecs: List, xn):
-    """Per-branch [N, R_i] plane*line products, stop-gradient coords.
-
-    Each plane query fetches its 4 bilinear corners as ONE neighborhood-
-    packed row (ops/packing.py) — the TPU gather engine is row-rate-bound,
-    so this is 4x fewer gathers than corner-wise grid_sample with identical
-    zero-padded semantics (tent weights).  Packed tables are rebuilt from
-    the canonical parameters inside the graph, so gradients and checkpoints
-    are unchanged.
-    """
-    from pvd_tpu.ops.packing import (
-        pack_line,
-        pack_plane,
-        sample_packed_line,
-        sample_packed_plane,
-    )
-
+def _plane_line_prod(mat, vec, xn, i: int):
+    """[N, R] plane*line product for branch i (stop-gradient coords)."""
+    m0, m1 = MAT_IDS[i]
+    v = VEC_IDS[i]
     xn = jax.lax.stop_gradient(xn)
-    feats = []
-    for i in range(3):
-        m0, m1 = MAT_IDS[i]
-        v = VEC_IDS[i]
-        H, W, R = mats[i].shape
-        px = (xn[:, m0] + 1.0) * 0.5 * (W - 1)
-        py = (xn[:, m1] + 1.0) * 0.5 * (H - 1)
-        mf = sample_packed_plane(pack_plane(mats[i]), H, W, R, px, py)
-        L = vecs[i].shape[0]
-        pz = (xn[:, v] + 1.0) * 0.5 * (L - 1)
-        vf = sample_packed_line(pack_line(vecs[i]), L, R, pz)
-        feats.append(mf * vf)
-    return feats
+    H, W, _ = mat.shape
+    px = (xn[:, m0] + 1.0) * 0.5 * (W - 1)
+    py = (xn[:, m1] + 1.0) * 0.5 * (H - 1)
+    mf = _plane_packed_mxu(mat, px, py)
+    L = vec.shape[0]
+    pz = (xn[:, v] + 1.0) * 0.5 * (L - 1)
+    vf = _line_mxu(vec, pz)
+    return mf * vf
 
 
 def sigma_feat(params, xn):
     """[N] raw sigma feature: sum over ranks and branches."""
-    feats = _plane_line_feats(params["sigma_mat"], params["sigma_vec"], xn)
-    return sum(jnp.sum(f, axis=-1) for f in feats)
+    out = 0.0
+    for i in range(3):
+        prod = _plane_line_prod(params["sigma_mat"][i],
+                                params["sigma_vec"][i], xn, i)
+        out = out + prod @ jnp.ones((prod.shape[1], 1), prod.dtype)
+    return out[:, 0]
 
 
 def color_feat(params, spec: ModelSpec, xn):
     """[N, geo_feat_dim] via the basis matrix over concatenated products."""
-    cdt = jnp.dtype(spec.compute_dtype)
-    feats = _plane_line_feats(params["color_mat"], params["color_vec"], xn)
-    stacked = jnp.concatenate(feats, axis=-1).astype(cdt)  # [N, 3*R_color]
-    return (stacked @ params["basis_mat"]["w"].astype(cdt)).astype(jnp.float32)
+    Rc = spec.vm_color_rank
+    out = 0.0
+    for i in range(3):
+        prod = _plane_line_prod(params["color_mat"][i],
+                                params["color_vec"][i], xn, i)
+        out = out + prod @ params["basis_mat"]["w"][i * Rc : (i + 1) * Rc]
+    return out
+
+
+def _line_mxu(vec, p):
+    """Linear line sample as ONE one-hot matmul: [N] x [L, R] -> [N, R].
+
+    The line tables are tiny (<=300 rows), so a [N, L] two-nonzero matrix
+    on the MXU beats a row gather (measured: the gather engine charges per
+    row; the matmul is FLOP-free at this size) — and its backward is another
+    matmul instead of a scatter.
+    """
+    L = vec.shape[0]
+    b = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, max(L - 2, 0))
+    f = (p - b.astype(p.dtype))[:, None]
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    W = jnp.where(ar == b[:, None], 1.0 - f, 0.0) + jnp.where(
+        ar == b[:, None] + 1, f, 0.0
+    )  # [N, L]
+    return W @ vec
+
+
+def _plane_packed_mxu(mat, px, py):
+    """Bilinear plane sample: one packed-row gather + 0/1-matmul weighted sum.
+
+    Lane-dim reshapes after a gather halve the TPU gather rate (see
+    ops/hashgrid._corner_gather_sum), so the 4-corner weighted sum is done
+    as (rows * (w4 @ R4)) @ S4 with constant 0/1 matrices.
+    """
+    from pvd_tpu.ops.packing import pack_plane, packed_base, tent_weights_1d
+
+    H, W, R = mat.shape
+    packed = pack_plane(mat)  # [H*W, 4R]
+    bx = packed_base(px, W)
+    by = packed_base(py, H)
+    rows = jnp.take(packed, by * W + bx, axis=0)  # [N, 4R]
+    wx = tent_weights_1d(px, bx, W)  # [N, 2]
+    wy = tent_weights_1d(py, by, H)
+    w4 = jnp.stack(
+        [wy[:, 0] * wx[:, 0], wy[:, 0] * wx[:, 1],
+         wy[:, 1] * wx[:, 0], wy[:, 1] * wx[:, 1]],
+        axis=-1,
+    )  # [N, 4], corner order (dx, dy) bits = pack_plane order
+    R4 = jnp.asarray(np.kron(np.eye(4, dtype=np.float32), np.ones((1, R), np.float32)))
+    S4 = jnp.asarray(np.kron(np.ones((4, 1), np.float32), np.eye(R, dtype=np.float32)))
+    return (rows * (w4 @ R4)) @ S4  # [N, R]
 
 
 def _joint_feats(params, spec: ModelSpec, xn):
@@ -126,16 +159,15 @@ def _joint_feats(params, spec: ModelSpec, xn):
     coordinates, so their packed tables are channel-concatenated per branch
     and fetched with ONE gather per (branch, point) — half the row count of
     querying them separately (the TPU gather engine is row-rate-bound).
+    Sigma-rank summation and the per-branch basis projection fold into one
+    [R, 1+geo] matmul per branch, so no lane slicing ever touches the
+    gathered values.
     """
-    from pvd_tpu.ops.packing import (
-        pack_line, pack_plane, sample_packed_line, sample_packed_plane,
-    )
-
-    cdt = jnp.dtype(spec.compute_dtype)
     xn = jax.lax.stop_gradient(xn)
     Rs = spec.vm_sigma_rank
-    sigma = 0.0
-    color_parts = []
+    Rc = spec.vm_color_rank
+    geo = params["basis_mat"]["w"].shape[1]
+    sigma_color = 0.0
     for i in range(3):
         m0, m1 = MAT_IDS[i]
         v = VEC_IDS[i]
@@ -148,16 +180,27 @@ def _joint_feats(params, spec: ModelSpec, xn):
         H, W, R = mat.shape
         px = (xn[:, m0] + 1.0) * 0.5 * (W - 1)
         py = (xn[:, m1] + 1.0) * 0.5 * (H - 1)
-        mf = sample_packed_plane(pack_plane(mat), H, W, R, px, py)
+        mf = _plane_packed_mxu(mat, px, py)  # [N, R]
         L = vec.shape[0]
         pz = (xn[:, v] + 1.0) * 0.5 * (L - 1)
-        vf = sample_packed_line(pack_line(vec), L, R, pz)
+        vf = _line_mxu(vec, pz)  # [N, R]
         prod = mf * vf  # [N, Rs + Rc]
-        sigma = sigma + jnp.sum(prod[:, :Rs], axis=-1)
-        color_parts.append(prod[:, Rs:])
-    stacked = jnp.concatenate(color_parts, axis=-1).astype(cdt)
-    color = (stacked @ params["basis_mat"]["w"].astype(cdt)).astype(jnp.float32)
-    return sigma, color
+        # one matmul projects this branch to [sigma | geo-color]: rows
+        # 0..Rs-1 sum into channel 0, rows Rs.. apply this branch's slice
+        # of the (trained) basis matrix
+        basis_i = params["basis_mat"]["w"][i * Rc : (i + 1) * Rc]  # [Rc, geo]
+        P = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [jnp.ones((Rs, 1), prod.dtype),
+                     jnp.zeros((Rs, geo), prod.dtype)], axis=1),
+                jnp.concatenate(
+                    [jnp.zeros((Rc, 1), prod.dtype), basis_i], axis=1),
+            ],
+            axis=0,
+        )  # [R, 1 + geo]
+        sigma_color = sigma_color + prod @ P
+    return sigma_color[:, 0], sigma_color[:, 1:]
 
 
 def forward(params, spec: ModelSpec, x, d, aabb, want_color: bool):

@@ -52,6 +52,11 @@ class HashGridSpec:
     # boundaries — restrict to levels whose cells are subpixel at render
     # resolution.  0 = exact reference parity.
     n_cell_levels: int = 0
+    # Cast tables to this dtype before gathering (params stay float32 for
+    # the optimizer).  Measured on v5e: bf16 rows gather 2x SLOWER than f32
+    # (the engine punishes sub-word elements), so None (no cast) is the
+    # production setting; the knob stays for future hardware.
+    gather_dtype: str | None = None
 
     @property
     def log2_cell_size(self) -> int:
@@ -211,52 +216,88 @@ def _is_dense(spec: HashGridSpec, level: int) -> bool:
 
 # ---- corner gather with a scatter-folding backward -----------------------
 #
-# XLA's TPU scatter-add costs ~20-25ns per updated ROW once the destination
-# is <=~256K rows, and ~4x that for larger tables (measured on v5e).  This
-# custom VJP gathers in one fused op but scatters gradients per level,
-# FOLDING any level larger than _SCATTER_CHUNK rows into a [size/F, F*C]
-# view (the update value is widened with a one-hot slot mask) so every
-# scatter stays in the fast regime with a single pass over the updates.
+# TPU layout facts driving these formulations (measured on v5e):
+#   * the gather engine is row-rate-bound (~230M rows/s for <=64B rows,
+#     ~320M rows/s for 32B rows) but ONLY when the gather's index is 1-D and
+#     its output is consumed without lane-dim reshapes; a [N, K] index or a
+#     downstream [N*K, C] -> [N, K, C] reshape halves the rate (lane repack).
+#     So all gathers here use a CORNER-MAJOR flat index whose output reshape
+#     [K*N, C] -> [K, N, C] splits only the major dim (free).
+#   * weighted sums across a ROW's packed corners use tiny 0/1 matmuls
+#     instead of [.., K, C] reshapes — the MXU is free at these sizes and
+#     matmuls avoid lane repacks entirely.
+#   * XLA's TPU scatter-add costs ~20-25ns per updated ROW once the
+#     destination is <=~256K rows, and ~4x that for larger tables.  Backward
+#     scatters go per level, FOLDING any level larger than _SCATTER_CHUNK
+#     rows into a [size/F, F*C] view (the update value is widened with a
+#     one-hot slot mask) so every scatter stays in the fast regime.
 
 _SCATTER_CHUNK = 262144
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _corner_gather_sum(table, rows, w, level_offsets, n_corners):
-    """out[n, l, :] = sum_k w[n, l*K+k] * table[rows[n, l*K+k], :]."""
+def _repeat_mat(K: int, C: int, dtype):
+    """[K, K*C] 0/1 matrix: w [N, K] @ R -> w repeated C times per corner."""
+    R = np.zeros((K, K * C), np.float32)
+    for k in range(K):
+        R[k, k * C : (k + 1) * C] = 1.0
+    return jnp.asarray(R, dtype)
+
+
+def _sum_mat(K: int, C: int, dtype):
+    """[K*C, C] 0/1 matrix: (vals*wrep) @ S sums the K corner blocks."""
+    S = np.zeros((K * C, C), np.float32)
+    for k in range(K):
+        for c in range(C):
+            S[k * C + c, c] = 1.0
+    return jnp.asarray(S, dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _corner_gather_sum(table, rows, w, level_offsets, n_corners, gather_dtype):
+    """out[l, n, :] = sum_k w[n, l*K+k] * table[rows[n, l*K+k], :].
+
+    rows/w: [N, L*K] level-major.  Returns [L, N, C] (level-major — callers
+    index per level, avoiding an [N, L, C] transpose).
+    """
     K = n_corners
     N = rows.shape[0]
     L = rows.shape[1] // K
     C = table.shape[1]
-    vals = jnp.take(table, rows, axis=0)  # [N, L*K, C]
-    return jnp.sum(
-        vals.reshape(N, L, K, C) * w.reshape(N, L, K, 1).astype(vals.dtype),
-        axis=2,
-    )
+    src = table.astype(gather_dtype) if gather_dtype else table
+    # corner-major flat gather: [(L*K)*N, C] -> major-split to [L*K, N, C]
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L * K, N, C)
+    # bf16 saves gather BYTES; the weighted sum upcasts to f32 (free)
+    wv = vals.astype(jnp.float32) * w.T[..., None]  # [L*K, N, C]
+    return wv.reshape(L, K, N, C).sum(axis=1).astype(table.dtype)
 
 
-def _corner_gather_sum_fwd(table, rows, w, level_offsets, n_corners):
-    out = _corner_gather_sum(table, rows, w, level_offsets, n_corners)
+def _corner_gather_sum_fwd(table, rows, w, level_offsets, n_corners,
+                           gather_dtype):
+    out = _corner_gather_sum(table, rows, w, level_offsets, n_corners,
+                             gather_dtype)
     return out, (table, rows, w)
 
 
-def _corner_gather_sum_bwd(level_offsets, n_corners, res, g):
+def _corner_gather_sum_bwd(level_offsets, n_corners, gather_dtype, res, g):
     table, rows, w = res
     K = n_corners
     N, total = rows.shape
     L = total // K
     C = table.shape[1]
-    vals = jnp.take(table, rows, axis=0)  # re-gather (cheaper than saving)
-    g_rep = jnp.repeat(g, K, axis=1)  # [N, L*K, C]
-    g_w = jnp.sum(vals * g_rep, axis=-1).astype(w.dtype)
-    g_vals = g_rep * w[..., None].astype(g_rep.dtype)
+    src = table.astype(gather_dtype) if gather_dtype else table
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L * K, N, C)
+    # g: [L, N, C] -> corner-major [L*K, N, C]
+    g_rep = jnp.repeat(g, K, axis=0)
+    g_w = jnp.sum(vals.astype(g_rep.dtype) * g_rep, axis=-1)  # [L*K, N]
+    g_w = g_w.T.astype(w.dtype)
+    g_vals = g_rep * w.T[..., None].astype(g_rep.dtype)  # [L*K, N, C]
 
     parts = [jnp.zeros((int(level_offsets[0]), C), table.dtype)]
     for li in range(L):
         off = int(level_offsets[li])
         size = int(level_offsets[li + 1]) - off
-        rows_l = rows[:, li * K : (li + 1) * K].reshape(-1) - jnp.int32(off)
-        gv_l = g_vals[:, li * K : (li + 1) * K].reshape(-1, C).astype(table.dtype)
+        rows_l = rows[:, li * K : (li + 1) * K].T.reshape(-1) - jnp.int32(off)
+        gv_l = g_vals[li * K : (li + 1) * K].reshape(-1, C).astype(table.dtype)
         fold = 1
         while size // fold > _SCATTER_CHUNK and size % (fold * 2) == 0:
             fold *= 2
@@ -284,46 +325,62 @@ def _corner_gather_sum_bwd(level_offsets, n_corners, res, g):
 _corner_gather_sum.defvjp(_corner_gather_sum_fwd, _corner_gather_sum_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _cell_gather_sum(cell_table, rows, w, rows_per_level, n_corners):
-    """out[n, l, :] = sum_k w[n, l, k] * cell_table[rows[n, l], k*C:(k+1)*C].
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cell_gather_sum(cell_table, rows, w, rows_per_level, n_corners,
+                     gather_dtype):
+    """out[l][n, :] = sum_k w[n, l, k] * cell_table[rows[n, l], k*C:(k+1)*C].
 
-    One gather per (point, cell level); the per-level backward scatter
-    destination ([rows_per_level, K*C], <= 2^16 rows) is in XLA's fast
-    scatter regime without folding.
+    One gather per (point, cell level); rows [N, L]; w [N, L, K].
+    Returns [L, N, C] level-major.
     """
     K = n_corners
     N, L = rows.shape
     KC = cell_table.shape[1]
     C = KC // K
-    vals = jnp.take(cell_table, rows, axis=0)  # [N, L, K*C]
-    return jnp.sum(
-        vals.reshape(N, L, K, C) * w[..., None].astype(vals.dtype), axis=2
-    )
+    src = cell_table.astype(gather_dtype) if gather_dtype else cell_table
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L, N, KC)
+    R = _repeat_mat(K, C, jnp.float32)
+    S = _sum_mat(K, C, jnp.float32)
+    outs = []
+    for li in range(L):
+        wrep = w[:, li, :] @ R  # [N, K*C]
+        outs.append((vals[li].astype(jnp.float32) * wrep) @ S)  # [N, C]
+    return jnp.stack(outs, axis=0).astype(cell_table.dtype)
 
 
-def _cell_gather_sum_fwd(cell_table, rows, w, rows_per_level, n_corners):
-    return _cell_gather_sum(cell_table, rows, w, rows_per_level,
-                            n_corners), (cell_table, rows, w)
+def _cell_gather_sum_fwd(cell_table, rows, w, rows_per_level, n_corners,
+                         gather_dtype):
+    return _cell_gather_sum(cell_table, rows, w, rows_per_level, n_corners,
+                            gather_dtype), (cell_table, rows, w)
 
 
-def _cell_gather_sum_bwd(rows_per_level, n_corners, res, g):
+def _cell_gather_sum_bwd(rows_per_level, n_corners, gather_dtype, res, g):
     cell_table, rows, w = res
     K = n_corners
     N, L = rows.shape
     KC = cell_table.shape[1]
     C = KC // K
-    vals = jnp.take(cell_table, rows, axis=0).reshape(N, L, K, C)
-    g_w = jnp.sum(vals * g[:, :, None, :], axis=-1).astype(w.dtype)
-    g_vals = (w[..., None] * g[:, :, None, :]).reshape(N, L, KC)
+    src = cell_table.astype(gather_dtype) if gather_dtype else cell_table
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L, N, KC)
+    R = _repeat_mat(K, C, jnp.float32)
+    S = _sum_mat(K, C, jnp.float32)
     parts = []
+    g_ws = []
     for li in range(L):
+        g_l = g[li].astype(jnp.float32)  # [N, C]
+        g_rep = g_l @ S.T  # [N, K*C] — broadcast g to every corner block
+        v_l = vals[li].astype(jnp.float32)
+        # dL/dw[n,k] = sum_c g[n,c] * vals[n, k*C+c]
+        g_ws.append((v_l * g_rep) @ R.T)  # [N, K]
+        wrep = (w[:, li, :] @ R)  # [N, K*C]
+        gv_l = (g_rep * wrep).astype(cell_table.dtype)
         off = li * rows_per_level
         parts.append(
             jnp.zeros((rows_per_level, KC), cell_table.dtype)
             .at[rows[:, li] - jnp.int32(off)]
-            .add(g_vals[:, li].astype(cell_table.dtype), mode="drop")
+            .add(gv_l, mode="drop")
         )
+    g_w = jnp.stack(g_ws, axis=1).astype(w.dtype)  # [N, L, K]
     return jnp.concatenate(parts, axis=0), None, g_w
 
 
@@ -340,8 +397,53 @@ def init_cell_table(rng, spec: HashGridSpec, dtype=jnp.float32):
     )
 
 
+def packed_level_offsets(spec: HashGridSpec):
+    """Static {dense_level: row offset} map into the packed-dense table."""
+    packed_offsets, off = {}, 0
+    for level in range(spec.num_levels):
+        if spec.is_cell_level(level) or not _is_dense(spec, level) \
+                or spec.input_dim != 3:
+            continue
+        res, _, _, _, _ = _level_corner_plan(spec, level)
+        side = res if spec.align_corners else res + 1
+        packed_offsets[level] = off
+        off += side**3
+    return packed_offsets
+
+
+def build_packed_dense(table, spec: HashGridSpec, dtype=None):
+    """Neighborhood-pack all dense levels into one [sum side^3, 8C] table.
+
+    Frozen models (the distillation teacher) should call this ONCE and pass
+    the result to hash_encode(prebuilt_packed=...) — rebuilding in-graph
+    costs a full-table pass per step.  Returns (packed, level_offsets) or
+    (None, {}) when no level is dense.
+    """
+    from pvd_tpu.ops.packing import pack_rows_3d
+
+    C = spec.level_dim
+    offsets = spec.offsets
+    parts, packed_offsets, off = [], {}, 0
+    for level in range(spec.num_levels):
+        if spec.is_cell_level(level) or not _is_dense(spec, level) \
+                or spec.input_dim != 3:
+            continue
+        res, _, _, _, _ = _level_corner_plan(spec, level)
+        side = res if spec.align_corners else res + 1
+        part = pack_rows_3d(
+            table[int(offsets[level]): int(offsets[level]) + side**3],
+            side, C,
+        )
+        parts.append(part.astype(dtype) if dtype else part)
+        packed_offsets[level] = off
+        off += side**3
+    if not parts:
+        return None, {}
+    return jnp.concatenate(parts, axis=0), packed_offsets
+
+
 def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
-                cell_table=None):
+                cell_table=None, prebuilt_packed=None):
     """Encode points through all levels.
 
     Args:
@@ -353,6 +455,9 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
         ONE neighborhood-packed row (ops/packing.py) instead of 2^D rows —
         8x fewer gathers for those levels, identical math and parameters
         (the packed table is built inside the graph each call).
+      prebuilt_packed: optional (packed, level_offsets) from
+        build_packed_dense for FROZEN tables — skips the in-graph rebuild
+        (no gradient flows to dense levels through this path).
 
     Returns:
       [N, num_levels * level_dim]; zero rows for out-of-range inputs.
@@ -361,6 +466,8 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
     and weights for ALL levels are computed with elementwise int32/f32 ops
     and collapsed into at most two gathers: one over the packed-dense
     table, one [N, L_hash*2^D] over the flat table for hashed levels.
+    All gathers use corner-major FLAT indices (2-D indices and lane-dim
+    reshapes halve the TPU gather rate — see _corner_gather_sum).
     """
     D = spec.input_dim
     C = spec.level_dim
@@ -403,7 +510,8 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
             )
             cell_w.append(w)
             cell_levels.append(level)
-        elif packed_dense and D == 3 and _is_dense(spec, level):
+        elif (packed_dense or prebuilt_packed is not None) and D == 3 \
+                and _is_dense(spec, level):
             res, _, strides, _, _ = _level_corner_plan(spec, level)
             side = res if spec.align_corners else res + 1
             flat = (
@@ -421,35 +529,24 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
             hashed_w.append(w)
             hashed_levels.append(level)
 
-    if dense_levels:
-        from pvd_tpu.ops.packing import pack_rows_3d
+    gd = jnp.dtype(spec.gather_dtype) if spec.gather_dtype else None
 
-        packed_parts, packed_offsets, off = [], [], 0
-        for level in dense_levels:
-            res, _, _, _, _ = _level_corner_plan(spec, level)
-            side = res if spec.align_corners else res + 1
-            packed_parts.append(
-                pack_rows_3d(
-                    table[int(offsets[level]): int(offsets[level]) + side**3],
-                    side, C,
-                )
-            )
-            packed_offsets.append(off)
-            off += side**3
-        packed = jnp.concatenate(packed_parts, axis=0)  # [sum side^3, 8C]
-        rows = jnp.stack(
-            [b + jnp.int32(o) for b, o in zip(dense_base, packed_offsets)],
-            axis=1,
-        )  # [N, Ld]
-        vals = jnp.take(packed, rows, axis=0)  # ONE gather: [N, Ld, 8C]
-        wd = jnp.stack(dense_w, axis=1)  # [N, Ld, 8]
-        outs = jnp.sum(
-            vals.reshape(N, len(dense_levels), 8, C)
-            * wd[..., None].astype(vals.dtype),
-            axis=2,
-        )  # [N, Ld, C]
+    if dense_levels:
+        if prebuilt_packed is not None:
+            packed, packed_off = prebuilt_packed
+        else:
+            packed, packed_off = build_packed_dense(table, spec, dtype=gd)
+        # corner-major flat gather -> [Ld, N, 8C] (major split only)
+        Ld = len(dense_levels)
+        rows = jnp.concatenate(
+            [b + jnp.int32(packed_off[lv]) for b, lv in
+             zip(dense_base, dense_levels)], axis=0)  # [Ld*N] level-major
+        vals = jnp.take(packed, rows, axis=0).reshape(Ld, N, 8 * C)
+        R = _repeat_mat(8, C, jnp.float32)
+        S = _sum_mat(8, C, jnp.float32)
         for i, level in enumerate(dense_levels):
-            level_out[level] = outs[:, i]
+            wrep = dense_w[i] @ R  # [N, 8C]
+            level_out[level] = (vals[i].astype(jnp.float32) * wrep) @ S
 
     if hashed_levels:
         rows = jnp.concatenate(hashed_rows, axis=1)  # [N, Lh*2^D]
@@ -458,18 +555,20 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
         lvl_offsets = tuple(
             int(offsets[level]) for level in hashed_levels
         ) + (int(offsets[hashed_levels[-1] + 1]),)
-        outs = _corner_gather_sum(table, rows, w, lvl_offsets, 2**D)
+        outs = _corner_gather_sum(table, rows, w, lvl_offsets, 2**D,
+                                  spec.gather_dtype)
         for i, level in enumerate(hashed_levels):
-            level_out[level] = outs[:, i]
+            level_out[level] = outs[i]
 
     if cell_levels:
         rows = jnp.stack(cell_rows, axis=1)  # [N, Lc]
         w = jnp.stack(cell_w, axis=1)  # [N, Lc, 2^D]
         outs = _cell_gather_sum(
-            cell_table, rows, w, spec.cell_rows_per_level, 2**D
+            cell_table, rows, w, spec.cell_rows_per_level, 2**D,
+            spec.gather_dtype,
         )
         for i, level in enumerate(cell_levels):
-            level_out[level] = outs[:, i]
+            level_out[level] = outs[i]
 
     out = jnp.concatenate(level_out, axis=-1)  # [N, L*C]
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)

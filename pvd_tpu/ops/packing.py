@@ -22,6 +22,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def flat_take(table, idx):
+    """Row gather with a FLATTENED index.
+
+    Measured on v5e: `jnp.take(table, idx_2d, axis=0)` runs the TPU gather
+    engine at ~89M rows/s while the identical gather with a flat 1-D index
+    runs at ~230M rows/s.  Every hot-path row gather must go through here.
+    """
+    out = jnp.take(table, idx.reshape(-1), axis=0)
+    return out.reshape(idx.shape + table.shape[1:])
+
+
 def pack_rows_3d(rows, side: int, C: int):
     """Pack x-fastest dense rows [side^3, C] -> [side^3, 8*C].
 

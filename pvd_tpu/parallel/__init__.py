@@ -13,7 +13,12 @@ from pvd_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
-from pvd_tpu.parallel.dp import make_dp_teacher_step, make_dp_distill_step
+from pvd_tpu.parallel.dp import (
+    make_dp_distill_step,
+    make_dp_eval_renderer,
+    make_dp_occ_update,
+    make_dp_teacher_step,
+)
 
 __all__ = [
     "make_ray_mesh",
@@ -22,4 +27,6 @@ __all__ = [
     "shard_batch",
     "make_dp_teacher_step",
     "make_dp_distill_step",
+    "make_dp_occ_update",
+    "make_dp_eval_renderer",
 ]

@@ -1,31 +1,47 @@
-"""Data-parallel train steps over the ray axis.
+"""Data-parallel train steps over the ray axis (shard_map).
 
-Design (jax-ml scaling-book recipe): place the ray batch with a
-NamedSharding over the 'rays' mesh axis and the parameters/optimizer state
-replicated; jit the same pure step used single-chip and let XLA insert the
-gradient all-reduce over ICI.  The per-ray pipeline (lattice marching,
-field query, compositing) never communicates, so the only collective is the
-psum of the (small, replicated) parameter gradients — this replaces the
-reference's dormant torch.distributed all_reduce hooks
+Design (jax-ml scaling-book recipe): a 1-D mesh over the 'rays' axis;
+parameters, optimizer state, and occupancy grids replicated; the ray batch
+sharded.  The per-ray pipeline (probe marching, global sample compaction,
+field query, compositing) runs INSIDE jax.shard_map so every device works
+on its local shard with its own static sample budget — the batch-wide
+cumsum/scatter of the compaction never crosses devices.  The only
+collectives are the loss/metric pmean and the gradient psum that
+jax.grad-through-shard_map inserts for the replicated parameters over ICI.
+This replaces the reference's dormant torch.distributed all_reduce hooks
 (distill_mutual/utils.py:1243-1265).
 
-Ray sampling moves OUT of the step (vs the single-chip step in
-engine/train_steps.py) so the batch can be sharded explicitly; the pixel
-gather happens on-host (or upstream) and each device receives its slice.
+The objectives are the SAME functions the single-chip steps use
+(engine/train_steps.teacher_loss / distill_loss), so DP-vs-single-chip
+equivalence is structural: a DP step over n shards equals a single-chip
+step whose batch is the concatenation of the shards (up to the mean-of-
+means vs global-mean distinction, exact for equal shard sizes).
+
+Ray generation happens per shard (each device samples its own pixels from
+the replicated pose/image with a device-folded key), so no ray data ever
+moves between hosts and devices beyond the replicated inputs.
 """
 
 from __future__ import annotations
 
+
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pvd_tpu.config import ModelSpec, PVDConfig, RenderSpec
-from pvd_tpu.engine.train_steps import TrainState, masked_loss, rgb_loss
-from pvd_tpu.models import vm_density_l1
-from pvd_tpu.parallel.mesh import ray_sharding, replicated_sharding
-from pvd_tpu.render.renderer import render_rays
+from pvd_tpu.engine.train_steps import (
+    TrainState,
+    compose_gt,
+    distill_loss,
+    teacher_loss,
+)
+from pvd_tpu.ops.rays import get_rays
+
+
+def _pmean_tree(tree):
+    return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, "rays"), tree)
 
 
 def make_dp_teacher_step(
@@ -34,44 +50,77 @@ def make_dp_teacher_step(
     opt: optax.GradientTransformation,
     cfg: PVDConfig,
     mesh: Mesh,
+    intrinsics,
+    H: int,
+    W: int,
+    image_channels: int,
+    ema_decay: float = -1.0,
 ):
-    """step(state, rays_o [N,3], rays_d [N,3], gt [N,3], bg [N,3], key).
+    """Returns jitted step(state, pose [4,4], image_flat [H*W, C], key).
 
-    Inputs with a leading ray axis should be placed with ray_sharding(mesh);
-    state replicated (parallel.mesh.replicate).
+    state/pose/image replicated; each device ray-samples its
+    num_rays/n_devices share in-shard.  Signature matches the single-chip
+    make_teacher_step minus the error map (importance sampling is
+    host-global; DP runs uniform sampling — the Trainer warns).
     """
-    rs = ray_sharding(mesh)
-    rep = replicated_sharding(mesh)
+    intr = tuple(float(v) for v in intrinsics)
+    n_dev = mesh.devices.size
+    assert cfg.num_rays % n_dev == 0, (cfg.num_rays, n_dev)
+    local_rays = cfg.num_rays // n_dev
 
-    def loss_fn(params, occ, o, d, gt, bg, key):
-        out = render_rays(
-            params, spec, rspec, occ, o, d, training=True, bg_color=bg,
-            perturb_key=key,
-        )
-        loss = rgb_loss(out["image"], gt, cfg.loss_type)
-        if spec.model_type == "vm" and cfg.l1_reg_weight > 0:
-            loss = loss + cfg.l1_reg_weight * vm_density_l1(params)
-        return loss, out
+    def local_grad(params, occ, pose, image_flat, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+        k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays)
+        o, d = rays["rays_o"][0], rays["rays_d"][0]
+        pix = image_flat[rays["inds"][0]]
+        if cfg.color_space == "linear":
+            from pvd_tpu.utils.misc import srgb_to_linear
+
+            pix = jnp.concatenate(
+                [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
+            )
+        gt, bg = compose_gt(pix, image_channels, spec.bg_radius, k_bg)
+
+        # grad INSIDE the shard_map with an explicit pmean: transposing a
+        # shard_map whose only device-varying input is the folded RNG can't
+        # infer the grads' replication, so we don't ask it to
+        def loss_fn(p):
+            loss, (out, _) = teacher_loss(p, spec, rspec, cfg, occ, o, d,
+                                          gt, bg, k_perturb)
+            metrics = {
+                "loss": loss,
+                "psnr": -10.0 * jnp.log10(
+                    jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+                "budget_hit": out["budget_hit_frac"],
+                "mask_frac": out["mask_frac"],
+            }
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        return _pmean_tree(metrics), _pmean_tree(grads)
+
+    smap = jax.shard_map(
+        local_grad,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
 
     @jax.jit
-    def step(state: TrainState, o, d, gt, bg, key):
-        o = jax.lax.with_sharding_constraint(o, rs)
-        d = jax.lax.with_sharding_constraint(d, rs)
-        gt = jax.lax.with_sharding_constraint(gt, rs)
-        bg = jax.lax.with_sharding_constraint(bg, rs)
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.occ, o, d, gt, bg, key
-        )
-        grads = jax.lax.with_sharding_constraint(grads, rep)
+    def step(state: TrainState, pose, image_flat, key):
+        metrics, grads = smap(state.params, state.occ, pose, image_flat, key)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "psnr": -10.0 * jnp.log10(jnp.mean((out["image"] - gt) ** 2) + 1e-12),
-        }
+        ema = state.ema_params
+        if ema is not None:
+            from pvd_tpu.engine.optim import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
         return (
             state.replace(params=params, opt_state=opt_state,
-                          step=state.step + 1),
+                          step=state.step + 1, ema_params=ema),
             metrics,
         )
 
@@ -85,71 +134,160 @@ def make_dp_distill_step(
     opt: optax.GradientTransformation,
     cfg: PVDConfig,
     mesh: Mesh,
+    intrinsics,
+    H: int,
+    W: int,
     stage: int = 3,
+    ema_decay: float = -1.0,
 ):
-    """Data-parallel distillation step (stage static), rays sharded.
+    """Data-parallel distillation step (stage static).
 
-    step(state, params_tea, occ_tea, o [N,3], d [N,3], bg [N,3], key).
-    The student marches; the teacher inherits the student's samples, so the
-    teacher pass shards identically with zero extra communication.
+    step(state, params_tea, occ_tea, pose [4,4], key): everything
+    replicated; rays sampled per shard.  The student marches; the teacher
+    inherits the student's samples AND compaction, so the teacher pass
+    shards identically with zero extra communication.
     """
-    rs = ray_sharding(mesh)
-    rep = replicated_sharding(mesh)
-    both_have_fea = "tensors" not in (spec_stu.model_type, spec_tea.model_type)
-    want_color = stage >= 2
-    composite = stage == 3
+    assert stage in (1, 2, 3)
+    intr = tuple(float(v) for v in intrinsics)
+    n_dev = mesh.devices.size
+    assert cfg.num_rays % n_dev == 0, (cfg.num_rays, n_dev)
+    local_rays = cfg.num_rays // n_dev
 
-    def loss_fn(params_stu, params_tea, occ, occ_tea, o, d, bg, key, step_i):
-        out_s = render_rays(
-            params_stu, spec_stu, rspec, occ, o, d, training=True,
-            bg_color=bg, perturb_key=key, want_color=want_color,
-            composite=composite,
-        )
-        out_t = jax.lax.stop_gradient(
-            render_rays(
-                params_tea, spec_tea, rspec, occ_tea, o, d, training=True,
-                bg_color=bg, want_color=want_color, composite=composite,
-                inherited=out_s["samples"],
+    def local_grad(params_stu, params_tea, occ, occ_tea, pose, key, step_i):
+        key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
+        k_rays, k_bg, k_perturb = jax.random.split(key, 3)
+        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays)
+        o, d = rays["rays_o"][0], rays["rays_d"][0]
+        bg = jax.random.uniform(k_bg, (local_rays, 3))
+
+        def loss_fn(p):
+            return distill_loss(
+                p, params_tea, spec_stu, spec_tea, rspec, cfg, stage,
+                occ, occ_tea, o, d, bg, k_perturb, step_i,
             )
-        )
-        mask = out_s["samples"].mask
-        rate_fea = cfg.loss_rate_fea_sc * 0.995 ** step_i.astype(jnp.float32)
-        loss = 0.0
-        if both_have_fea and stage >= 1:
-            loss = loss + rate_fea * masked_loss(
-                out_s["fea_sc"], out_t["fea_sc"], mask, cfg.loss_type
-            )
-        if stage >= 2:
-            loss = loss + cfg.loss_rate_sigma * masked_loss(
-                out_s["sigma_logit"], out_t["sigma_logit"], mask, cfg.loss_type
-            )
-            loss = loss + cfg.loss_rate_color * masked_loss(
-                out_s["rgb_l"], out_t["rgb_l"], mask, cfg.loss_type
-            )
-        if stage == 3:
-            loss = loss + cfg.loss_rate_rgb * rgb_loss(
-                out_s["image"], out_t["image"], cfg.loss_type
-            )
-            if spec_stu.model_type == "vm" and cfg.l1_reg_weight > 0:
-                loss = loss + cfg.l1_reg_weight * vm_density_l1(params_stu)
-        return loss
+
+        (_, (logs, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params_stu)
+        return _pmean_tree(logs), _pmean_tree(grads)
+
+    smap = jax.shard_map(
+        local_grad,
+        mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(P(), P()),
+    )
 
     @jax.jit
-    def step(state: TrainState, params_tea, occ_tea, o, d, bg, key):
-        o = jax.lax.with_sharding_constraint(o, rs)
-        d = jax.lax.with_sharding_constraint(d, rs)
-        bg = jax.lax.with_sharding_constraint(bg, rs)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, params_tea, state.occ, occ_tea, o, d, bg, key,
-            state.step,
-        )
-        grads = jax.lax.with_sharding_constraint(grads, rep)
+    def step(state: TrainState, params_tea, occ_tea, pose, key):
+        logs, grads = smap(state.params, params_tea, state.occ, occ_tea,
+                           pose, key, state.step)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            from pvd_tpu.engine.optim import ema_update
+
+            ema = ema_update(ema, params, ema_decay)
         return (
             state.replace(params=params, opt_state=opt_state,
-                          step=state.step + 1),
-            {"loss": loss},
+                          step=state.step + 1, ema_params=ema),
+            logs,
         )
 
     return step
+
+
+def make_dp_occ_update(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh):
+    """Occupancy-grid refresh with the density sweep sharded over cells.
+
+    The full-mode sweep queries H^3 cells through the field network —
+    shard_map splits the cell axis so each device queries its share; the
+    EMA/bitfield/neighbor-mask assembly is elementwise and runs sharded,
+    with results replicated on exit.
+    """
+    from functools import partial as _partial
+
+    from pvd_tpu.models import field_density
+    from pvd_tpu.render import update_density_grid
+
+    def density_sharded(params, aabb, x):
+        # x arrives replicated [M, 3]; split over devices, query, all-gather
+        n_dev = mesh.devices.size
+        M = x.shape[0]
+        pad = (-M) % n_dev
+
+        def local(xs):
+            return field_density(params, spec, xs, aabb)
+
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        sig = jax.shard_map(
+            local, mesh=mesh, in_specs=P("rays"), out_specs=P("rays")
+        )(xp)
+        return sig[:M]
+
+    @_partial(jax.jit, static_argnames=("full",))
+    def occ_update(occ, params, key, full: bool):
+        def dens(x):
+            return density_sharded(params, occ.aabb_train, x)
+
+        return update_density_grid(occ, dens, rspec, key, full=full)
+
+    return occ_update
+
+
+def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
+                          chunk: int = 16384):
+    """Chunked full-image renderer with each chunk's rays sharded.
+
+    Same contract as engine.train_steps.make_eval_renderer; each device
+    renders chunk/n_devices rays of every chunk (per-shard sample budget,
+    zero collectives — outputs concatenate over the ray axis).
+    """
+    from pvd_tpu.ops.rays import pixel_dirs
+    from pvd_tpu.render.renderer import render_rays
+
+    n_dev = mesh.devices.size
+    chunk = max(n_dev, (chunk // n_dev) * n_dev)
+    local = chunk // n_dev
+    _cache = {}
+
+    def _build(intr, H: int, W: int):
+        def local_render(params, occ, pose, head):
+            i_dev = jax.lax.axis_index("rays")
+            inds = head + i_dev * local + jnp.arange(local)
+            inds = jnp.minimum(inds, H * W - 1)
+            dirs_cam = pixel_dirs(intr, inds, H, W)
+            d = dirs_cam @ pose[:3, :3].T
+            o = jnp.broadcast_to(pose[:3, 3], d.shape)
+            out = render_rays(params, spec, rspec, occ, o, d,
+                              training=False, bg_color=1.0, early_stop=True)
+            return out["image"], out["depth"]
+
+        return jax.jit(jax.shard_map(
+            local_render,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P("rays"), P("rays")),
+        ))
+
+    def render_image(params, occ, pose, intrinsics, H, W):
+        import numpy as np
+
+        intr = tuple(float(v) for v in intrinsics)
+        key = (intr, H, W)
+        if key not in _cache:
+            _cache[key] = _build(intr, H, W)
+        render_chunk = _cache[key]
+        pose_j = jnp.asarray(pose, jnp.float32)
+        n = H * W
+        imgs, deps = [], []
+        for head in range(0, n, chunk):
+            tail = min(head + chunk, n)
+            img, dep = render_chunk(params, occ, pose_j, jnp.int32(head))
+            imgs.append(np.asarray(img[: tail - head]))
+            deps.append(np.asarray(dep[: tail - head]))
+        img = np.concatenate(imgs).reshape(H, W, 3)
+        dep = np.concatenate(deps).reshape(H, W)
+        return img, dep
+
+    return render_image

@@ -31,10 +31,60 @@ class OccupancyState:
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 marks untrained cells
     bitfield: jnp.ndarray  # [CAS * H^3] bool, flat row-major
     bitfield_dilated: jnp.ndarray  # [CAS * H^3] bool, 2-cell max-dilation
+    # [H^3, 4] uint32 (single-cascade scenes; [1, 4] zeros otherwise): bit
+    # (dz+2)*25+(dy+2)*5+(dx+2) of row (x*H+y)*H+z holds the occupancy of
+    # cell (x+dx, y+dy, z+dz) — ONE gather resolves a whole 5^3 neighborhood
+    # for the probe-based marcher (renderer.march_rays)
+    neighbor_masks: jnp.ndarray
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
     aabb_train: jnp.ndarray  # [6]
     aabb_infer: jnp.ndarray  # [6]
+
+
+NEIGHBOR_RADIUS = 2  # 5^3 neighborhood -> 125 bits in 4 uint32 words
+
+
+def build_neighbor_masks(bitfield, H: int):
+    """Pack each cell's 5^3-neighborhood occupancy into 4 uint32 words.
+
+    Single-cascade only (the probe marcher's domain); multi-cascade scenes
+    get a [1, 4] zero placeholder.  Built with 125 shifted-pad passes over
+    the bool grid — pure VPU work, paid only at occupancy updates.
+    """
+    C = bitfield.shape[0] // (H * H * H)
+    if C != 1:
+        return jnp.zeros((1, 4), jnp.uint32)
+    g = bitfield.reshape(H, H, H)
+    R = NEIGHBOR_RADIUS
+    words = [jnp.zeros((H, H, H), jnp.uint32) for _ in range(4)]
+
+    def shifted(axis_shifts):
+        """Grid shifted so out[x,y,z] = g[x+dx, y+dy, z+dz] (zero padded)."""
+        out = g
+        for axis, s in enumerate(axis_shifts):
+            if s == 0:
+                continue
+            pad = [(0, 0)] * 3
+            if s > 0:
+                pad[axis] = (0, s)
+                sl = [slice(None)] * 3
+                sl[axis] = slice(s, H + s)
+            else:
+                pad[axis] = (-s, 0)
+                sl = [slice(None)] * 3
+                sl[axis] = slice(0, H)
+            out = jnp.pad(out, pad)[tuple(sl)]
+        return out
+
+    for dx in range(-R, R + 1):
+        for dy in range(-R, R + 1):
+            for dz in range(-R, R + 1):
+                bit = (dz + R) * 25 + (dy + R) * 5 + (dx + R)
+                w = shifted((dx, dy, dz)).astype(jnp.uint32) << jnp.uint32(
+                    bit % 32)
+                words[bit // 32] = words[bit // 32] | w
+    return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [H^3, 4]
 
 
 def dilate_bitfield(bitfield, H: int, radius: int = 2):
@@ -69,6 +119,7 @@ def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
         density_grid=jnp.zeros((C, H, H, H), jnp.float32),
         bitfield=jnp.zeros((C * H * H * H,), bool),
         bitfield_dilated=jnp.zeros((C * H * H * H,), bool),
+        neighbor_masks=jnp.zeros((H * H * H if C == 1 else 1, 4), jnp.uint32),
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
         aabb_train=aabb,
@@ -158,6 +209,7 @@ def update_density_grid(
         density_grid=new_grid,
         bitfield=bitfield,
         bitfield_dilated=dilate_bitfield(bitfield, H),
+        neighbor_masks=build_neighbor_masks(bitfield, H),
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
     )
@@ -205,10 +257,13 @@ def mark_untrained_grid(
 
 
 def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
-    """Replace the bitfield and keep the dilated companion consistent."""
+    """Replace the bitfield and keep the derived fields (dilated bitfield,
+    neighbor masks) consistent."""
     H = state.density_grid.shape[1]
     return state.replace(
-        bitfield=bitfield, bitfield_dilated=dilate_bitfield(bitfield, H)
+        bitfield=bitfield,
+        bitfield_dilated=dilate_bitfield(bitfield, H),
+        neighbor_masks=build_neighbor_masks(bitfield, H),
     )
 
 
@@ -218,6 +273,7 @@ def reset_state(state: OccupancyState) -> OccupancyState:
         density_grid=jnp.zeros_like(state.density_grid),
         bitfield=jnp.zeros_like(state.bitfield),
         bitfield_dilated=jnp.zeros_like(state.bitfield_dilated),
+        neighbor_masks=jnp.zeros_like(state.neighbor_masks),
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
     )

@@ -72,6 +72,9 @@ def main():
 
     k = jax.random.PRNGKey(0)
     params_tea = init_field(jax.random.fold_in(k, 0), spec_tea)
+    from pvd_tpu.models.hash_field import attach_packed
+
+    params_tea = attach_packed(params_tea, spec_tea)
     params_stu = init_field(jax.random.fold_in(k, 1), spec_stu)
     occ = init_occupancy_state(rspec)
     occ = set_bitfield(
@@ -88,14 +91,16 @@ def main():
 
     # --- march only ---
     @jax.jit
-    def run_march(bitfield, bitfield_d, o, d):
+    def run_march(bitfield, bitfield_d, nm, o, d):
         nears, fars = near_far_from_aabb(o, d, occ.aabb_train, rspec.min_near)
         return march_rays(bitfield, o, d, nears, fars, rspec,
                           perturb_key=jax.random.PRNGKey(1),
-                          bitfield_dilated=bitfield_d)
+                          bitfield_dilated=bitfield_d, neighbor_masks=nm)
 
-    ms = bench_fn(run_march, (occ.bitfield, occ.bitfield_dilated, o, d))
-    samples = run_march(occ.bitfield, occ.bitfield_dilated, o, d)
+    march_args = (occ.bitfield, occ.bitfield_dilated, occ.neighbor_masks,
+                  o, d)
+    ms = bench_fn(run_march, march_args)
+    samples = run_march(*march_args)
     mask_frac = float(samples.mask.mean())
     budget_hit = float(samples.mask[:, -1].mean())
     print(f"march_only: {ms:7.2f} ms   valid_frac={mask_frac:.3f} "
