@@ -29,14 +29,20 @@ def choose_buckets(
     mask_frac: float,
     allow_shrink: bool = True,
 ) -> Tuple[int, float]:
-    """Pick (max_samples, samples_per_ray) buckets for the measured stats."""
+    """Pick (max_samples, samples_per_ray) buckets for the measured stats.
+
+    Escalation is deliberately RELUCTANT (budget_hit > 25%): the
+    reference's mean_count is an *average* of recent step totals
+    (raymarching.py:233-238), i.e. roughly half its steps run truncated —
+    moderate truncation is normal and PSNR-neutral (quality A/B'd at
+    S_max=32), while every S_max bucket costs march/composite time."""
     s_max = rspec.max_samples
-    if budget_hit > 0.05:
+    if budget_hit > 0.25:
         bigger = [b for b in SMAX_BUCKETS
                   if b > s_max and b <= rspec.max_steps]
         if bigger:
             s_max = bigger[0]
-    elif (allow_shrink and budget_hit < 0.001
+    elif (allow_shrink and budget_hit < 0.02
           and mask_frac * rspec.max_samples < 0.45 * s_max):
         smaller = [b for b in SMAX_BUCKETS if b < s_max]
         if smaller and mask_frac * rspec.max_samples < 0.9 * smaller[-1]:
@@ -45,7 +51,7 @@ def choose_buckets(
     spr = rspec.samples_per_ray
     if spr > 0:
         mean_valid = mask_frac * rspec.max_samples
-        want = [b for b in SPR_BUCKETS if b >= 1.4 * mean_valid]
+        want = [b for b in SPR_BUCKETS if b >= 1.2 * mean_valid]
         spr = min(want[0] if want else SPR_BUCKETS[-1], float(s_max))
     return s_max, spr
 

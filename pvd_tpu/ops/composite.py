@@ -20,8 +20,69 @@ Semantics matched to the reference:
 """
 
 import jax.numpy as jnp
+from jax import lax
 
 T_EPS = 1e-4  # inference early-termination threshold
+
+
+def composite_rays_compact(sigmas, rgbs, delta_t, delta_depth, ray_id,
+                           valid, n_rays: int, early_stop: bool = False):
+    """Composite a globally-compacted sample stream (no [N, S] padding).
+
+    The CSR-like analog of composite_rays: samples arrive ray-ordered in a
+    flat [M] stream (render_rays' CompactInfo), transmittance is a
+    SEGMENTED exclusive cumprod (associative_scan over (value, reset)
+    pairs), and per-ray outputs accumulate with one scatter-add into N
+    rows — the padded block and its >256K-row scatter-back never exist.
+    Replaces composite_rays_train (raymarching.cu:504-593) for the
+    compacted training path.
+
+    Args:
+      sigmas, delta_t, delta_depth, valid: [M]; rgbs: [M, 3];
+      ray_id: [M] nondecreasing owner (padding tail may repeat ray 0 —
+        its alphas are masked to zero so it contributes nothing).
+
+    Returns:
+      weights_sum [N], depth [N], image [N, 3], weights [M].
+    """
+    m = valid.astype(sigmas.dtype)
+    alphas = (1.0 - jnp.exp(-sigmas * delta_t)) * m
+    prev_ray = jnp.concatenate(
+        [jnp.full((1,), -1, ray_id.dtype), ray_id[:-1]])
+    reset = ray_id != prev_ray  # segment starts
+
+    # ONE fused segmented scan carries (transmittance product, depth sum):
+    # T_i = prod_{j<i, same ray} (1 - alpha_j) (shifted right in-segment),
+    # t_cum = running real-depth sum (deltas channel 1 semantics)
+    om = 1.0 - alphas
+
+    def combine(a, b):
+        ap, asum, af = a
+        bp, bsum, bf = b
+        return (jnp.where(bf, bp, ap * bp),
+                jnp.where(bf, bsum, asum + bsum),
+                af | bf)
+
+    incl, t_cum, _ = lax.associative_scan(
+        combine, (om, delta_depth * m, reset))
+    trans = jnp.where(reset, 1.0, jnp.concatenate(
+        [jnp.ones_like(incl[:1]), incl[:-1]]))
+    if early_stop:
+        alphas = jnp.where(trans < T_EPS, 0.0, alphas)
+    weights = alphas * trans  # [M]
+
+    payload = jnp.concatenate(
+        [weights[:, None] * rgbs,            # image
+         weights[:, None],                   # weights_sum
+         (weights * t_cum)[:, None]],        # depth
+        axis=-1,
+    )  # [M, 5]
+    acc = jnp.zeros((n_rays, 5), payload.dtype).at[ray_id].add(
+        payload, mode="drop")
+    image = acc[:, :3]
+    weights_sum = acc[:, 3]
+    depth = acc[:, 4]
+    return weights_sum, depth, image, weights
 
 
 def exclusive_cumprod_one_minus(alphas):

@@ -68,6 +68,25 @@ def test_compact_samples_first_m_in_order():
     np.testing.assert_array_equal(np.asarray(c.ray_id), [0, 0, 1])
 
 
+def test_compact_samples_prefix_matches_generic():
+    """The prefix (scatter-light) formulation must equal the generic one on
+    prefix masks, including zero-count rays and budget truncation."""
+    rng = np.random.default_rng(9)
+    N, S = 64, 16
+    cnt = rng.integers(0, S + 1, N)
+    cnt[::7] = 0  # zero-count rays
+    mask = jnp.asarray(np.arange(S)[None, :] < cnt[:, None])
+    for budget in (32, 128, N * S):
+        a = compact_samples(mask, budget)
+        b = compact_samples(mask, budget, prefix=True)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(a.valid, a.ray_id, 0)),
+            np.asarray(jnp.where(b.valid, b.ray_id, 0)))
+        assert int(a.total) == int(b.total)
+
+
 def test_compacted_render_matches_dense():
     """With a non-truncating budget the compacted render must equal the
     dense path bit-for-bit (same samples, same field values)."""
