@@ -453,23 +453,38 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
     Ray generation happens INSIDE the jitted chunk from the scanline pixel
     offset — eager full-image ray math costs two orders of magnitude more
     than the render itself through a remote-TPU tunnel.
-    """
+
+    Work reduction (replaces the reference's alive-ray compaction loop,
+    renderer.py:450-543): every chunk renders on the globally-COMPACTED
+    sample stream at a per-chunk budget, so cost tracks actual occupancy,
+    not chunk*S_max padding.  Budget truncation would zero a chunk's last
+    rays, which is fine for SGD but an eval artifact — so each chunk
+    returns a truncation flag, all chunks dispatch ASYNCHRONOUSLY (one
+    host sync per image, not per chunk — the tunnel readback costs ~30 ms
+    flat), and truncated chunks re-render on an escalating budget ladder
+    (4x, then compaction off = exact padded path)."""
+    import dataclasses as _dc
     from functools import partial as _partial
 
     from pvd_tpu.ops.rays import pixel_dirs
 
-    @_partial(jax.jit, static_argnames=("H", "W"))
-    def render_chunk(params, occ, pose, intr, head, H, W):
+    base_spr = rspec.samples_per_ray
+
+    @_partial(jax.jit, static_argnames=("H", "W", "spr"))
+    def render_chunk(params, occ, pose, intr, head, H, W, spr):
+        rs = _dc.replace(rspec, samples_per_ray=spr)
         inds = head + jnp.arange(chunk)
         inds = jnp.minimum(inds, H * W - 1)  # pad tail by repeating last px
         dirs_cam = pixel_dirs(tuple(intr), inds, H, W)
         d = dirs_cam @ pose[:3, :3].T
         o = jnp.broadcast_to(pose[:3, 3], d.shape)
         out = render_rays(
-            params, spec, rspec, occ, o, d, training=False, bg_color=1.0,
+            params, spec, rs, occ, o, d, training=False, bg_color=1.0,
             early_stop=True,
         )
-        return out["image"], out["depth"]
+        truncated = (out["compact_frac"] > 1.0) if "compact_frac" in out \
+            else jnp.bool_(False)
+        return out["image"], out["depth"], truncated
 
     def render_image(params, occ, pose, intrinsics, H, W):
         import numpy as np
@@ -477,13 +492,34 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
         pose_j = jnp.asarray(pose, jnp.float32)
         intr = tuple(float(v) for v in intrinsics)
         n = H * W
-        imgs, deps = [], []
-        for head in range(0, n, chunk):
-            tail = min(head + chunk, n)
-            img, dep = render_chunk(params, occ, pose_j, intr,
-                                    jnp.int32(head), H, W)
-            imgs.append(np.asarray(img[: tail - head]))
-            deps.append(np.asarray(dep[: tail - head]))
+        heads = list(range(0, n, chunk))
+        # budget escalation ladder (0 = compaction off, exact padded path)
+        ladder = [base_spr]
+        if base_spr > 0:
+            if base_spr * 4 < rspec.max_samples:
+                ladder.append(base_spr * 4.0)
+            ladder.append(0.0)
+
+        outs = {}
+        pending = heads
+        for spr in ladder:
+            # dispatch every pending chunk before touching any result
+            batch = [render_chunk(params, occ, pose_j, intr, jnp.int32(h),
+                                  H, W, spr) for h in pending]
+            retry = []
+            for h, (img, dep, trunc) in zip(pending, batch):
+                if spr != ladder[-1] and bool(trunc):
+                    retry.append(h)
+                else:
+                    outs[h] = (img, dep)
+            pending = retry
+            if not pending:
+                break
+
+        imgs = [np.asarray(outs[h][0][: min(h + chunk, n) - h])
+                for h in heads]
+        deps = [np.asarray(outs[h][1][: min(h + chunk, n) - h])
+                for h in heads]
         img = np.concatenate(imgs).reshape(H, W, 3)
         dep = np.concatenate(deps).reshape(H, W)
         return img, dep

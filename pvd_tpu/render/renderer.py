@@ -6,10 +6,13 @@ This module is the TPU-native redesign of `NeRFRenderer.run_cuda`
 
 Core reformulation ("occupancy lattice + compaction"): with step size
 dt = clamp(t * dt_gamma, dt_min, dt_max), the reference's per-ray DDA visits
-a t-sequence that is INDEPENDENT of occupancy — empty-space skipping only
-decides which lattice points get evaluated, and the skip lands back on the
-same lattice (every advance is an integer number of dt steps when
-dt_gamma == 0).  So marching becomes:
+a t-trajectory that is INDEPENDENT of occupancy — its empty-space skip
+advances t by the SAME dt recurrence until the next voxel boundary
+(`do { t += clamp(t*dt_gamma, ...) } while (t < tt)`,
+raymarching.cu:399-402), so skipping only decides which trajectory points
+EMIT samples.  This holds for every dt_gamma, not just 0 (oracle-tested
+against a DDA transcription in tests/test_renderer.py).  So marching
+becomes:
 
   1. generate the per-ray t-lattice [n_rays, max_steps] (closed form for
      dt_gamma == 0, a lax.scan otherwise);

@@ -135,6 +135,31 @@ def test_truncating_budget_stays_finite_and_monotone():
     assert float(out["compact_frac"]) > 1.0  # truncation happened
 
 
+def test_eval_renderer_escalates_on_truncation():
+    """A budget too small for the scene must NOT black out trailing rays:
+    the eval renderer's escalation ladder re-renders truncated chunks
+    (up to the exact uncompacted path)."""
+    from pvd_tpu.engine.train_steps import make_eval_renderer
+
+    spec = ModelSpec(model_type="hash", hash_num_levels=4,
+                     hash_desired_res=64)
+    params = init_field(jax.random.PRNGKey(0), spec)
+    H = 32
+    rspec_tight = _spec(samples_per_ray=2.0)   # truncating budget
+    rspec_exact = _spec(samples_per_ray=0.0)   # no compaction
+    occ = set_bitfield(init_occupancy_state(rspec_tight),
+                       jnp.ones((32 ** 3,), bool))
+    render_tight = make_eval_renderer(spec, rspec_tight, chunk=256)
+    render_exact = make_eval_renderer(spec, rspec_exact, chunk=256)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    intr = (30.0, 30.0, H / 2, H / 2)
+    img_t, dep_t = render_tight(params, occ, pose, intr, H, H)
+    img_e, dep_e = render_exact(params, occ, pose, intr, H, H)
+    np.testing.assert_allclose(img_t, img_e, atol=1e-5)
+    np.testing.assert_allclose(dep_t, dep_e, atol=1e-5)
+
+
 def test_autotune_escalates_smax_on_dense_grid(tmp_path):
     """Over-dense occupancy triggers S_max escalation (VERDICT #5)."""
     from pvd_tpu.config import PVDConfig

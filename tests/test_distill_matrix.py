@@ -39,6 +39,40 @@ def _cfg(scene, ws, **kw):
     return PVDConfig(**base)
 
 
+@pytest.mark.parametrize("data_type", ["llff", "tank"])
+def test_distill_llff_tank_through_cli(scene, tmp_path_factory, data_type):
+    """LLFF/tank-type distillation end to end THROUGH THE CLI (VERDICT #7):
+    per-epoch random poses come from the camera-bbox (llff) / radius-
+    randomized orbit (tank) samplers instead of the synthetic sphere."""
+    from pvd_tpu.cli import distill as distill_cli
+    from pvd_tpu.cli import train_teacher as teacher_cli
+
+    ws_t = str(tmp_path_factory.mktemp(f"cli_tea_{data_type}"))
+    teacher_cli.main([
+        scene, "--workspace", ws_t, "--model_type", "hash",
+        "--iters", "16", "--num_rays", "128", "--grid_size", "16",
+        "--max_steps", "64", "--max_samples", "24", "--density_thresh",
+        "0.01", "--eval_interval", "1000",
+    ])
+    import glob
+
+    ckpts = sorted(glob.glob(ws_t + "*/checkpoints/*.ckpt"))
+    assert ckpts, ws_t
+
+    ws_s = str(tmp_path_factory.mktemp(f"cli_dis_{data_type}"))
+    distill_cli.main([
+        scene, "--workspace", ws_s, "--teacher_type", "hash",
+        "--model_type", "vm", "--ckpt_teacher", ckpts[-1],
+        "--data_type", data_type, "--iters", "12",
+        "--stage_iters", "{'stage1':4,'stage2':8}",
+        "--num_rays", "128", "--grid_size", "16", "--max_steps", "64",
+        "--max_samples", "24", "--resolution0", "12",
+        "--eval_interval", "1000",
+    ])
+    out = sorted(glob.glob(ws_s + "*/results/*.png"))
+    assert out, ws_s  # eval artifacts written
+
+
 @pytest.mark.parametrize("teacher,student", PAIRS)
 def test_distill_pair(scene, tmp_path_factory, teacher, student):
     # quick teacher
