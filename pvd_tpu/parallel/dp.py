@@ -241,17 +241,25 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
 
     Same contract as engine.train_steps.make_eval_renderer; each device
     renders chunk/n_devices rays of every chunk (per-shard sample budget,
-    zero collectives — outputs concatenate over the ray axis).
+    zero collectives — outputs concatenate over the ray axis).  Shares the
+    single-chip renderer's truncation semantics: a shard whose compacted
+    budget truncates flags the chunk, and flagged chunks re-render on a
+    4x -> uncompacted budget ladder.
     """
+    import dataclasses as _dc
+
     from pvd_tpu.ops.rays import pixel_dirs
     from pvd_tpu.render.renderer import render_rays
 
     n_dev = mesh.devices.size
     chunk = max(n_dev, (chunk // n_dev) * n_dev)
     local = chunk // n_dev
+    base_spr = rspec.samples_per_ray
     _cache = {}
 
-    def _build(intr, H: int, W: int):
+    def _build(intr, H: int, W: int, spr: float):
+        rs = _dc.replace(rspec, samples_per_ray=spr)
+
         def local_render(params, occ, pose, head):
             i_dev = jax.lax.axis_index("rays")
             inds = head + i_dev * local + jnp.arange(local)
@@ -259,33 +267,56 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
             dirs_cam = pixel_dirs(intr, inds, H, W)
             d = dirs_cam @ pose[:3, :3].T
             o = jnp.broadcast_to(pose[:3, 3], d.shape)
-            out = render_rays(params, spec, rspec, occ, o, d,
+            out = render_rays(params, spec, rs, occ, o, d,
                               training=False, bg_color=1.0, early_stop=True)
-            return out["image"], out["depth"]
+            trunc = (out["compact_frac"] > 1.0) if "compact_frac" in out \
+                else jnp.bool_(False)
+            any_trunc = jax.lax.pmax(trunc.astype(jnp.int32), "rays") > 0
+            return out["image"], out["depth"], any_trunc
 
         return jax.jit(jax.shard_map(
             local_render,
             mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=(P("rays"), P("rays")),
+            out_specs=(P("rays"), P("rays"), P()),
         ))
 
     def render_image(params, occ, pose, intrinsics, H, W):
         import numpy as np
 
         intr = tuple(float(v) for v in intrinsics)
-        key = (intr, H, W)
-        if key not in _cache:
-            _cache[key] = _build(intr, H, W)
-        render_chunk = _cache[key]
         pose_j = jnp.asarray(pose, jnp.float32)
         n = H * W
-        imgs, deps = [], []
-        for head in range(0, n, chunk):
-            tail = min(head + chunk, n)
-            img, dep = render_chunk(params, occ, pose_j, jnp.int32(head))
-            imgs.append(np.asarray(img[: tail - head]))
-            deps.append(np.asarray(dep[: tail - head]))
+        heads = list(range(0, n, chunk))
+        ladder = [base_spr]
+        if base_spr > 0:
+            if base_spr * 4 < rspec.max_samples:
+                ladder.append(base_spr * 4.0)
+            ladder.append(0.0)
+
+        outs = {}
+        pending = heads
+        for spr in ladder:
+            key = (intr, H, W, spr)
+            if key not in _cache:
+                _cache[key] = _build(intr, H, W, spr)
+            render_chunk = _cache[key]
+            batch = [render_chunk(params, occ, pose_j, jnp.int32(h))
+                     for h in pending]
+            retry = []
+            for h, (img, dep, trunc) in zip(pending, batch):
+                if spr != ladder[-1] and bool(trunc):
+                    retry.append(h)
+                else:
+                    outs[h] = (img, dep)
+            pending = retry
+            if not pending:
+                break
+
+        imgs = [np.asarray(outs[h][0][: min(h + chunk, n) - h])
+                for h in heads]
+        deps = [np.asarray(outs[h][1][: min(h + chunk, n) - h])
+                for h in heads]
         img = np.concatenate(imgs).reshape(H, W, 3)
         dep = np.concatenate(deps).reshape(H, W)
         return img, dep

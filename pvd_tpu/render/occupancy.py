@@ -17,6 +17,7 @@ TPU-native redesign of the reference's density grid machinery
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -45,12 +46,15 @@ class OccupancyState:
 NEIGHBOR_RADIUS = 2  # 5^3 neighborhood -> 125 bits in 4 uint32 words
 
 
+@partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks(bitfield, H: int):
     """Pack each cell's 5^3-neighborhood occupancy into 4 uint32 words.
 
     Single-cascade only (the probe marcher's domain); multi-cascade scenes
     get a [1, 4] zero placeholder.  Built with 125 shifted-pad passes over
-    the bool grid — pure VPU work, paid only at occupancy updates.
+    the bool grid — pure VPU work, paid only at occupancy updates.  Jitted:
+    eagerly these ~375 primitives each pay their own dispatch/compile
+    through a remote-TPU tunnel.
     """
     C = bitfield.shape[0] // (H * H * H)
     if C != 1:
@@ -87,6 +91,7 @@ def build_neighbor_masks(bitfield, H: int):
     return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [H^3, 4]
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def dilate_bitfield(bitfield, H: int, radius: int = 2):
     """Max-dilate the occupancy field by `radius` cells per axis (separable
     shifts) — the conservative coarse field for two-stage marching."""
@@ -228,31 +233,38 @@ def mark_untrained_grid(
     fx, fy, cx, cy = (float(v) for v in intrinsics)
     poses = jnp.asarray(poses, jnp.float32)
 
-    coords = jnp.stack(
-        jnp.meshgrid(jnp.arange(H), jnp.arange(H), jnp.arange(H), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 3)
-    world01 = _cell_centers01(coords, H)  # [M, 3]
+    # ONE jitted program: running this body eagerly dispatches ~15
+    # primitives, and through a remote-TPU tunnel每 primitive pays its own
+    # multi-second compile — the eager version stalled startup for minutes
+    def body(density_grid, poses):
+        coords = jnp.stack(
+            jnp.meshgrid(jnp.arange(H), jnp.arange(H), jnp.arange(H),
+                         indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 3)
+        world01 = _cell_centers01(coords, H)  # [M, 3]
 
-    counts = []
-    for cas in range(C):
-        bound = _cascade_bound(cas, rspec.bound)
-        half = bound / H
-        pts = world01 * (bound - half)  # [M, 3]
-        covered = jnp.zeros((pts.shape[0],), jnp.int32)
-        B = poses.shape[0]
-        for head in range(0, B, chunk):
-            p = poses[head : head + chunk]
-            cam = pts[None, :, :] - p[:, None, :3, 3]  # [b, M, 3]
-            # world->cam with R^T; c2w rotation applied transposed
-            cam = jnp.einsum("bmk,bkj->bmj", cam, p[:, :3, :3])
-            mz = cam[..., 2] > 0
-            mx = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
-            my = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
-            covered = covered + jnp.sum(mz & mx & my, axis=0)
-        counts.append(covered.reshape(H, H, H))
-    count = jnp.stack(counts)
-    new_grid = jnp.where(count == 0, -1.0, state.density_grid)
+        counts = []
+        for cas in range(C):
+            bound = _cascade_bound(cas, rspec.bound)
+            half = bound / H
+            pts = world01 * (bound - half)  # [M, 3]
+            covered = jnp.zeros((pts.shape[0],), jnp.int32)
+            B = poses.shape[0]
+            for head in range(0, B, chunk):
+                p = poses[head : head + chunk]
+                cam = pts[None, :, :] - p[:, None, :3, 3]  # [b, M, 3]
+                # world->cam with R^T; c2w rotation applied transposed
+                cam = jnp.einsum("bmk,bkj->bmj", cam, p[:, :3, :3])
+                mz = cam[..., 2] > 0
+                mx = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+                my = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+                covered = covered + jnp.sum(mz & mx & my, axis=0)
+            counts.append(covered.reshape(H, H, H))
+        count = jnp.stack(counts)
+        return jnp.where(count == 0, -1.0, density_grid)
+
+    new_grid = jax.jit(body)(state.density_grid, poses)
     return state.replace(density_grid=new_grid)
 
 
