@@ -52,7 +52,15 @@ def choose_buckets(
     if spr > 0:
         mean_valid = mask_frac * rspec.max_samples
         want = [b for b in SPR_BUCKETS if b >= 1.2 * mean_valid]
-        spr = min(want[0] if want else SPR_BUCKETS[-1], float(s_max))
+        target = min(want[0] if want else SPR_BUCKETS[-1], float(s_max))
+        # hysteresis: a one-bucket shrink needs 20% clearance below the
+        # target bucket, else noise in mask_frac oscillates the budget
+        # across a boundary and every flip re-traces the step.  Big drops
+        # (>= 2x, e.g. after the occupancy grid converges) pass through.
+        if (target < spr and target > 0.5 * spr
+                and 1.2 * mean_valid > 0.8 * target):
+            target = spr
+        spr = target
     return s_max, spr
 
 

@@ -285,6 +285,12 @@ class Trainer:
             return
         if step % self.cfg.update_extra_interval != 0:
             return
+        # grid warmup: the first 16 occupancy updates are FULL re-queries of
+        # a mostly-occupied fresh grid (renderer.py:648-775) — stats from
+        # that phase escalate the budget for a state that disappears within
+        # 256 steps, and every retune pays a ~2 min step re-trace
+        if step < 16 * self.cfg.update_extra_interval:
+            return
         rs = self.rspec
         budget_hit = float(metrics.get("budget_hit", 0.0))
         mask_frac = float(metrics.get("mask_frac", 0.0))
