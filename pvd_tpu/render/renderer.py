@@ -86,15 +86,24 @@ def compact_samples(mask, budget: int, prefix: bool = False) -> CompactInfo:
     N, S = mask.shape
     if prefix:
         rcnt = jnp.sum(mask.astype(jnp.int32), axis=-1)  # [N]
-        rbase = jnp.cumsum(rcnt) - rcnt  # exclusive
         total = rcnt.sum()
+        # over-budget batches shed samples PROPORTIONALLY from every ray's
+        # tail (each ray keeps its front samples — the ones that carry the
+        # transmittance) instead of zeroing the batch's trailing rays
+        # outright; the reference drops whole rays at random instead
+        # (raymarching.py:206,234)
+        scale = jnp.minimum(1.0, budget / jnp.maximum(total, 1)
+                            .astype(jnp.float32))
+        rcnt = jnp.floor(rcnt.astype(jnp.float32) * scale).astype(jnp.int32)
+        rbase = jnp.cumsum(rcnt) - rcnt  # exclusive
+        used = rcnt.sum()
         # zero-count rays collide at the next ray's rbase; .max keeps the
         # later (correct) owner, and rbase >= budget drops cleanly
         starts = jnp.zeros((budget,), jnp.int32).at[rbase].max(
             jnp.arange(N, dtype=jnp.int32), mode="drop")
         ray = lax.cummax(starts)
         mslot = jnp.arange(budget, dtype=jnp.int32)
-        valid = mslot < jnp.minimum(total, budget)
+        valid = mslot < jnp.minimum(used, budget)
         idx = jnp.where(valid, ray * S + (mslot - rbase[ray]), 0)
         return CompactInfo(idx=idx, valid=valid,
                            ray_id=jnp.where(valid, ray, 0), total=total)
