@@ -155,6 +155,38 @@ def test_dp_grads_match_singlechip(mesh):
     assert cos > 0.98, cos
 
 
+def test_trainer_dp_distill_runs(tmp_path):
+    """Trainer-level DP distillation: teacher ckpt -> DP student steps over
+    the 8-device mesh, eval under the mesh."""
+    root = str(tmp_path / "scene")
+    make_synthetic_scene(root, n_train=6, n_val=1, n_test=1, H=32, W=32)
+    cfg_t = PVDConfig(
+        path=root, workspace=str(tmp_path / "wt"), iters=30, num_rays=128,
+        grid_size=16, max_steps=64, max_samples=24, density_thresh=0.01,
+        model_type="hash", eval_interval=1000, autotune_budget=False,
+        samples_per_ray=8.0,
+    )
+    tr_t = Trainer(cfg_t, mode="teacher")
+    tr_t.train(NeRFDataset(cfg_t, "train"))
+    tea_path = tr_t.save()
+
+    cfg = PVDConfig(
+        path=root, workspace=str(tmp_path / "ws"), iters=16, num_rays=128,
+        grid_size=16, max_steps=64, max_samples=24, density_thresh=0.01,
+        model_type="vm", teacher_type="hash", resolution0=12,
+        stage1_iters=4, stage2_iters=10, n_devices=N_DEV,
+        eval_interval=1000, autotune_budget=False, samples_per_ray=8.0,
+    )
+    tr = Trainer(cfg, mode="distill")
+    assert tr.mesh is not None
+    tr.load_teacher(tea_path)
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 16
+    assert np.isfinite(float(tr._last_metrics["loss"]))
+    stats = tr.evaluate(NeRFDataset(cfg, "test"))
+    assert np.isfinite(stats["psnr"]), stats
+
+
 def test_trainer_dp_teacher_improves_psnr(tmp_path):
     """Trainer-level DP: teacher training over the 8-device mesh improves
     train PSNR and runs eval + occ updates under the mesh."""
