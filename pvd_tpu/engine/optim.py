@@ -57,12 +57,6 @@ def build_optimizer(
     label_fn(path)->'main'|'head_lr2'; trainable_fn(path)->bool.
     """
 
-    def adamw(sched):
-        return optax.adamw(
-            learning_rate=sched, b1=0.9, b2=0.99, eps=1e-15,
-            weight_decay=weight_decay,
-        )
-
     def leaf_label(path, _leaf):
         keys = tuple(
             p.key if hasattr(p, "key") else getattr(p, "idx", p) for p in path
@@ -72,6 +66,16 @@ def build_optimizer(
         return label_fn(keys)
 
     labels = jax.tree_util.tree_map_with_path(leaf_label, params)
+
+    def adamw(sched):
+        # NOTE: optax.flatten looks attractive (fewer per-leaf ops) but
+        # measured 7 ms/step SLOWER on the TPU — the ravel/unravel passes
+        # over 17.8M params cost far more than the per-leaf op overhead
+        return optax.adamw(
+            learning_rate=sched, b1=0.9, b2=0.99, eps=1e-15,
+            weight_decay=weight_decay,
+        )
+
     return optax.multi_transform(
         {
             "main": adamw(schedule_main),

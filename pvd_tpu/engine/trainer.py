@@ -145,6 +145,24 @@ class Trainer:
         except Exception:
             pass
 
+    def close(self):
+        """Release the TB writer (its event-pump threads + fds leak
+        otherwise — enough Trainer instances in one process abort on
+        thread exhaustion) and drop jitted-step caches."""
+        if self._tb is not None:
+            try:
+                self._tb.close()
+            except Exception:
+                pass
+            self._tb = None
+        self._steps = {}
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     # ------------------------------------------------------------------
     def log(self, msg: str):
         print(msg, flush=True)

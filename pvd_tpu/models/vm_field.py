@@ -168,6 +168,10 @@ def _joint_feats(params, spec: ModelSpec, xn):
     Rc = spec.vm_color_rank
     geo = params["basis_mat"]["w"].shape[1]
     sigma_color = 0.0
+    # NOTE: a "batched" variant (stack the 3 branch planes, one pack chain,
+    # one branch-offset gather) measured 2x SLOWER on v5e — the [3,H,W,C]
+    # pad/concat layout and the 3x-taller gather table both lose to three
+    # independent per-branch chains. Keep them separate.
     for i in range(3):
         m0, m1 = MAT_IDS[i]
         v = VEC_IDS[i]

@@ -65,6 +65,18 @@ def pack_plane(plane, pad_rows: int = 0):
     return jnp.concatenate(parts, axis=-1).reshape(H * W, 4 * C)
 
 
+def pack_plane_batch(planes):
+    """[B, H, W, C] -> [B*H*W, 4*C]: pack_plane over a leading batch in ONE
+    pad/slice/concat chain (3x fewer XLA ops than per-plane packing)."""
+    B, H, W, C = planes.shape
+    padded = jnp.pad(planes, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    parts = []
+    for k in range(4):
+        dx, dy = k & 1, (k >> 1) & 1
+        parts.append(padded[:, dy : dy + H, dx : dx + W])
+    return jnp.concatenate(parts, axis=-1).reshape(B * H * W, 4 * C)
+
+
 def pack_line(line):
     """[L, C] -> [L, 2*C]: packed[i] = concat(v[i], v[i+1])."""
     L, C = line.shape

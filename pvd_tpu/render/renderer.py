@@ -85,25 +85,22 @@ def compact_samples(mask, budget: int, prefix: bool = False) -> CompactInfo:
     cumsum+scatter on the TPU."""
     N, S = mask.shape
     if prefix:
+        # Over-budget batches keep WHOLE leading rays and drop trailing
+        # ones (the last included ray may be cut short) — matching the
+        # reference's keep-complete-rays truncation (raymarching.py:206,
+        # 234).  A proportional per-ray-tail policy was A/B'd and is WORSE
+        # under heavy truncation: every ray then trains only on its
+        # near-camera samples, which on a dense grid are empty space.
         rcnt = jnp.sum(mask.astype(jnp.int32), axis=-1)  # [N]
         total = rcnt.sum()
-        # over-budget batches shed samples PROPORTIONALLY from every ray's
-        # tail (each ray keeps its front samples — the ones that carry the
-        # transmittance) instead of zeroing the batch's trailing rays
-        # outright; the reference drops whole rays at random instead
-        # (raymarching.py:206,234)
-        scale = jnp.minimum(1.0, budget / jnp.maximum(total, 1)
-                            .astype(jnp.float32))
-        rcnt = jnp.floor(rcnt.astype(jnp.float32) * scale).astype(jnp.int32)
         rbase = jnp.cumsum(rcnt) - rcnt  # exclusive
-        used = rcnt.sum()
         # zero-count rays collide at the next ray's rbase; .max keeps the
         # later (correct) owner, and rbase >= budget drops cleanly
         starts = jnp.zeros((budget,), jnp.int32).at[rbase].max(
             jnp.arange(N, dtype=jnp.int32), mode="drop")
         ray = lax.cummax(starts)
         mslot = jnp.arange(budget, dtype=jnp.int32)
-        valid = mslot < jnp.minimum(used, budget)
+        valid = mslot < jnp.minimum(total, budget)
         idx = jnp.where(valid, ray * S + (mslot - rbase[ray]), 0)
         return CompactInfo(idx=idx, valid=valid,
                            ray_id=jnp.where(valid, ray, 0), total=total)
@@ -330,10 +327,15 @@ def march_rays(
         t_out = jnp.take_along_axis(ts, pos_c, axis=1) * mask
         dt_out = jnp.take_along_axis(dts, pos_c, axis=1) * mask
 
-    # delta_depth_i = (t_i + dt_i) - (t_{i-1} + dt_{i-1}), seeded with t0
-    # (the "real delta" channel used for depth, raymarching.cu:460-465)
+    # delta_depth_i = u_i - u_{previous VALID sample}, u = t + dt, seeded
+    # with t0 (the "real delta" depth channel, raymarching.cu:460-465).
+    # prev-valid via a running cummax of masked u (u is nondecreasing), so
+    # the masked cumsum telescopes to u_i - t0 in full-trajectory mode
+    # (scattered masks) exactly as it does for compacted prefix masks.
     u = t_out + dt_out
-    prev = jnp.concatenate([t0[:, None], u[:, :-1]], axis=1)
+    run = lax.cummax(jnp.where(mask, u, -jnp.inf), axis=1)
+    prev = jnp.maximum(
+        jnp.concatenate([t0[:, None], run[:, :-1]], axis=1), t0[:, None])
     delta_depth = jnp.where(mask, u - prev, 0.0)
 
     return MarchedSamples(t=t_out, dt=dt_out, delta_depth=delta_depth,
@@ -418,14 +420,15 @@ def render_rays(
     }
 
     if compact is not None:
-        # field query on the compacted M points only; t and delta_depth
-        # ride along in ONE 2-wide gather
+        # field query on the compacted M points only; t and dt ride along
+        # in ONE 2-wide gather
         M = compact.idx.shape[0]
-        td = jnp.stack([samples.t, samples.delta_depth, samples.dt], axis=-1)
-        td_c = td.reshape(-1, 3)[compact.idx]
-        t_c, dd_c = td_c[:, 0], td_c[:, 1]
-        od = jnp.concatenate([rays_o, rays_d], axis=-1)[compact.ray_id]
-        o_c, d_c = od[:, :3], od[:, 3:]
+        td = jnp.stack([samples.t, samples.dt], axis=-1)
+        td_c = td.reshape(-1, 2)[compact.idx]
+        t_c = td_c[:, 0]
+        od = jnp.concatenate(
+            [rays_o, rays_d, samples.t0[:, None]], axis=-1)[compact.ray_id]
+        o_c, d_c, t0_c = od[:, :3], od[:, 3:6], od[:, 6]
         xyz_c = jnp.clip(o_c + t_c[:, None] * d_c, -rspec.bound, rspec.bound)
         out_f = field_forward(params, spec, xyz_c, d_c, aabb,
                               want_color=want_color)
@@ -445,9 +448,12 @@ def render_rays(
         # composite DIRECTLY on the compacted stream (segmented scan +
         # one N-row scatter-add) — the padded [N, S] block and its slow
         # >256K-row scatter-back never materialize
-        dt_c = jnp.where(compact.valid, td_c[:, 2], 0.0)
+        dt_c = jnp.where(compact.valid, td_c[:, 1], 0.0)
+        # depth channel: the running real-delta sum telescopes to
+        # (t + dt) - t0 (raymarching.cu:460-465) — exact, no scan
+        t_cum_c = jnp.where(compact.valid, t_c + dt_c - t0_c, 0.0)
         ws, depth_raw, image, weights = composite_rays_compact(
-            out_f.sigma * rspec.density_scale, out_f.rgb, dt_c, dd_c,
+            out_f.sigma * rspec.density_scale, out_f.rgb, dt_c, t_cum_c,
             compact.ray_id, compact.valid, N, early_stop=early_stop,
         )
         image = image + (1.0 - ws)[:, None] * jnp.asarray(

@@ -70,16 +70,15 @@ def test_compact_samples_first_m_in_order():
 
 def test_compact_samples_prefix_matches_generic():
     """The prefix (scatter-light) formulation must equal the generic one on
-    prefix masks whenever the budget does not truncate (incl. zero-count
-    rays); under truncation it sheds PROPORTIONALLY from every ray's tail
-    instead of zeroing trailing rays."""
+    prefix masks, including zero-count rays and budget truncation (both
+    keep whole leading rays, reference-style — a proportional per-ray-tail
+    policy was A/B'd and is worse under heavy truncation)."""
     rng = np.random.default_rng(9)
     N, S = 64, 16
     cnt = rng.integers(0, S + 1, N)
     cnt[::7] = 0  # zero-count rays
     mask = jnp.asarray(np.arange(S)[None, :] < cnt[:, None])
-    total = int(cnt.sum())
-    for budget in (((total + 127) // 128) * 128, N * S):
+    for budget in (32, 128, N * S):
         a = compact_samples(mask, budget)
         b = compact_samples(mask, budget, prefix=True)
         np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
@@ -88,24 +87,6 @@ def test_compact_samples_prefix_matches_generic():
             np.asarray(jnp.where(a.valid, a.ray_id, 0)),
             np.asarray(jnp.where(b.valid, b.ray_id, 0)))
         assert int(a.total) == int(b.total)
-
-    # truncating budget: every surviving slot is a ray-prefix sample, every
-    # ray keeps ~scale of its count, and nobody overshoots the budget
-    budget = 256
-    assert budget < total
-    c = compact_samples(mask, budget, prefix=True)
-    used = int(np.asarray(c.valid).sum())
-    assert used <= budget
-    scale = budget / total
-    kept = np.zeros(N, int)
-    idx = np.asarray(c.idx)[np.asarray(c.valid)]
-    for i in idx:
-        r, s = divmod(int(i), S)
-        assert s < cnt[r]  # prefix property
-        kept[r] += 1
-    nz = cnt > 0
-    np.testing.assert_array_equal(kept[nz], np.floor(cnt[nz] * scale))
-    assert int(c.total) == total  # pre-cap count preserved for metrics
 
 
 def test_compacted_render_matches_dense():
@@ -152,9 +133,7 @@ def test_truncating_budget_stays_finite_and_monotone():
     out = render_rays(params, spec, rspec, occ, o, d, training=True)
     assert bool(jnp.all(jnp.isfinite(out["image"])))
     c = out["compact"]
-    # proportional shedding floors each ray's share: budget nearly full
-    used = int(jnp.sum(c.valid))
-    assert c.idx.shape[0] - 16 <= used <= c.idx.shape[0]
+    assert int(jnp.sum(c.valid)) == c.idx.shape[0]  # fully used budget
     assert float(out["compact_frac"]) > 1.0  # truncation happened
 
 
