@@ -4,22 +4,67 @@ Headline metric from BASELINE.md: >= 2 Mrays/sec/chip on TPU for hash->vm
 distillation (train + render: every step renders the student AND the teacher
 on the student's samples, then backprops the student).
 
-Measured at the TUNED production config (4096 rays/step — the reference
-distill default, main_distill_mutual.py:56-61 — S_max=64, global sample
+Measured at the TUNED production config (4096 rays/step -- the reference
+distill default, main_distill_mutual.py:56-61 -- S_max=64, global sample
 budget 8/ray; within 0.03 dB of uncompacted S_max=96 in the distill
 quality A/B, see STATUS.md) on a clustered occupancy grid shaped like a
 converged Synthetic-NeRF scene (a shell-and-blobs object at ~4%
 occupancy), not a uniform-random bitfield.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever jax.default_backend() provides (the axon TPU in this
-environment; CPU fallback works but is slow).
+
+Robustness contract (round-3): this script must ALWAYS print its JSON line
+well inside the driver budget, even if the tuned config compiles slowly
+through the axon tunnel.  Strategy:
+  1. persistent compilation cache (/tmp/jax_bench_cache) so repeat runs
+     skip all compiles;
+  2. a cheap fallback config (S_max=32, the round-1 shape that is proven
+     to compile fast) is measured FIRST and stored as the result;
+  3. the tuned config then overwrites it if it completes;
+  4. a watchdog thread prints the best result so far and hard-exits when
+     PVD_BENCH_BUDGET_S (default 420s) is reached, so a hung/slow compile
+     can never turn into rc=124 with no output.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
+
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("PVD_BENCH_BUDGET_S", "420"))
+
+_result = {
+    "metric": "hash->vm distill train-step throughput (no config completed)",
+    "value": 0.0,
+    "unit": "rays/sec/chip",
+    "vs_baseline": 0.0,
+    "degraded": True,
+}
+_printed = threading.Event()
+
+
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def emit_and_exit():
+    if not _printed.is_set():
+        _printed.set()
+        print(json.dumps(_result), flush=True)
+    # hard exit: a compile may be stuck inside the tunnel; sys.exit would
+    # block on it.  os._exit still closes the process cleanly enough for
+    # the driver to read stdout.
+    os._exit(0)
+
+
+def watchdog():
+    log(f"WATCHDOG fired at {BUDGET_S}s -- emitting best result so far")
+    emit_and_exit()
 
 
 def object_like_bitfield(H: int) -> np.ndarray:
@@ -38,32 +83,24 @@ def object_like_bitfield(H: int) -> np.ndarray:
     return g.reshape(-1)
 
 
-def main():
+def bench_config(label, cfg, iters):
+    """Build + run one distill-step config; return (metric_str, rays/sec)."""
     import jax
     import jax.numpy as jnp
 
-    from pvd_tpu.config import ModelSpec, PVDConfig
+    from pvd_tpu.config import ModelSpec
+    from pvd_tpu.data.poses import pose_spherical
     from pvd_tpu.engine.optim import build_optimizer, cosine_schedule
     from pvd_tpu.engine.train_steps import TrainState, make_distill_step
     from pvd_tpu.models import init_field
     from pvd_tpu.models.api import param_group_label, trainable_label
     from pvd_tpu.models.hash_field import attach_packed
+    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
     from pvd_tpu.render import init_occupancy_state
     from pvd_tpu.render.occupancy import set_bitfield
 
-    NUM_RAYS = 4096  # reference distill default (main_distill_mutual.py:56-61)
+    NUM_RAYS = cfg.num_rays
     H, W = 800, 800
-    ITERS = 30
-    WARMUP = 5
-
-    # tuned production distill config: S_max=64, 8 samples/ray budget —
-    # quality-justified by the A/B sweep (teacher 30.53 dB; 2000-iter
-    # hash->vm students: base autotuned 30.92, S64/spr12 30.89, S64/spr8
-    # 30.89, UNCOMPACTED 30.87 — the tuned config is within 0.03 dB of
-    # every looser one; table in STATUS.md)
-    cfg = PVDConfig(num_rays=NUM_RAYS, grid_size=128, max_steps=1024,
-                    resolution0=300, max_samples=64, samples_per_ray=8.0,
-                    autotune_budget=False)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
                          hash_cell_levels=9)
@@ -88,10 +125,6 @@ def main():
     state = TrainState(params=params_stu, opt_state=opt.init(params_stu),
                        occ=occ, step=jnp.int32(0))
 
-    # camera orbit pose (synthetic convention)
-    from pvd_tpu.data.poses import pose_spherical
-    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
-
     pose = jnp.asarray(nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0),
                                           scale=0.8))
 
@@ -100,35 +133,77 @@ def main():
         intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
     )
 
+    log(f"{label}: built, dispatching warmup (compile happens here)")
     key = jax.random.PRNGKey(1)
-    for i in range(WARMUP):
-        key, kk = jax.random.split(key)
-        state, logs = step_fn(state, params_tea, occ, pose, kk)
-    # host readback forces full sync (block_until_ready can return early
-    # through this environment's remote-TPU tunnel)
+    key, kk = jax.random.split(key)
+    state, logs = step_fn(state, params_tea, occ, pose, kk)
+    float(logs["loss"])  # force full sync through the tunnel
+    log(f"{label}: compile+first step done")
+    # one more warm step so the timed loop starts from steady state
+    key, kk = jax.random.split(key)
+    state, logs = step_fn(state, params_tea, occ, pose, kk)
     float(logs["loss"])
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
+    for _ in range(iters):
         key, kk = jax.random.split(key)
         state, logs = step_fn(state, params_tea, occ, pose, kk)
     float(logs["loss"])
     dt = time.perf_counter() - t0
+    rays_per_sec = NUM_RAYS * iters / dt
+    log(f"{label}: {rays_per_sec:,.0f} rays/s ({iters} iters in {dt:.2f}s)")
 
-    rays_per_sec = NUM_RAYS * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "hash->vm distill train-step throughput "
-                f"({jax.default_backend()}, {NUM_RAYS} rays/step, "
-                f"S_max={rspec.max_samples}, "
-                f"budget={rspec.sample_budget(NUM_RAYS)})",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/sec/chip",
-                "vs_baseline": round(rays_per_sec / 2.0e6, 4),
-            }
-        )
+    metric = (
+        "hash->vm distill train-step throughput "
+        f"({jax.default_backend()}, {NUM_RAYS} rays/step, "
+        f"S_max={rspec.max_samples}, "
+        f"budget={rspec.sample_budget(NUM_RAYS)})"
     )
+    return metric, rays_per_sec
+
+
+def main():
+    timer = threading.Timer(BUDGET_S, watchdog)
+    timer.daemon = True
+    timer.start()
+
+    import jax
+
+    # persistent compile cache: repeat runs (and the driver run after this
+    # session has warmed the cache) skip every compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    log(f"backend={jax.default_backend()} budget={BUDGET_S}s")
+
+    from pvd_tpu.config import PVDConfig
+
+    # Phase 1: cheap fallback (round-1 proven-fast shape). Secures a real
+    # measured number before we attempt anything expensive.
+    try:
+        cfg_cheap = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
+                              resolution0=300, max_samples=32,
+                              samples_per_ray=8.0, autotune_budget=False)
+        metric, rps = bench_config("fallback(S_max=32)", cfg_cheap, iters=10)
+        _result.update(metric=metric, value=round(rps, 1),
+                       vs_baseline=round(rps / 2.0e6, 4), degraded=True)
+    except Exception as e:  # keep going: tuned config may still work
+        log(f"fallback config FAILED: {type(e).__name__}: {e}")
+
+    # Phase 2: tuned production config (the real headline number).
+    try:
+        cfg = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
+                        resolution0=300, max_samples=64, samples_per_ray=8.0,
+                        autotune_budget=False)
+        metric, rps = bench_config("tuned(S_max=64)", cfg, iters=30)
+        _result.update(metric=metric, value=round(rps, 1),
+                       vs_baseline=round(rps / 2.0e6, 4))
+        _result.pop("degraded", None)
+    except Exception as e:
+        log(f"tuned config FAILED: {type(e).__name__}: {e}")
+
+    timer.cancel()
+    emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -232,6 +232,10 @@ class PVDConfig:
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50
+    # TensorBoard event writing (tensorboardX spawns event-pump threads per
+    # writer; tests set this False — or PVD_DISABLE_TB=1 — to avoid thread
+    # exhaustion across many Trainer instances in one process)
+    tensorboard: bool = True
 
     def __post_init__(self):
         if isinstance(self.plenoxel_res, str):

@@ -462,9 +462,11 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
     budget, so cost tracks actual occupancy, not chunk*max_steps padding.
     Budget truncation would zero a chunk's last rays, which is fine for
     SGD but an eval artifact — so each chunk returns a truncation flag,
-    all chunks dispatch ASYNCHRONOUSLY (one host sync per image, not per
-    chunk — the tunnel readback costs ~30 ms flat), and truncated chunks
-    re-render on an escalating 1x/4x/16x budget ladder."""
+    all chunks dispatch ASYNCHRONOUSLY and the flags are read back as ONE
+    stacked array per ladder rung (the tunnel readback costs ~30 ms flat),
+    and truncated chunks re-render on an escalating 1x/4x/16x budget
+    ladder.  Chunks still truncated at the last rung are accepted but
+    counted and warned about (should not happen on real grids)."""
     import dataclasses as _dc
     from functools import partial as _partial
 
@@ -478,7 +480,10 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
             rs = _dc.replace(rspec, samples_per_ray=spr,
                              max_samples=rspec.max_steps)
         else:
-            rs = _dc.replace(rspec, samples_per_ray=0.0)
+            # compaction off: still march the full trajectory so eval never
+            # inherits the training S_max clip (same contract as spr>0)
+            rs = _dc.replace(rspec, samples_per_ray=0.0,
+                             max_samples=rspec.max_steps)
         inds = head + jnp.arange(chunk)
         inds = jnp.minimum(inds, H * W - 1)  # pad tail by repeating last px
         dirs_cam = pixel_dirs(tuple(intr), inds, H, W)
@@ -511,8 +516,10 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
             # dispatch every pending chunk before touching any result
             batch = [render_chunk(params, occ, pose_j, intr, jnp.int32(h),
                                   H, W, spr) for h in pending]
+            # ONE host readback per rung: stack the truncation flags
+            truncs = np.asarray(jnp.stack([t for (_, _, t) in batch]))
             retry = []
-            for h, (img, dep, trunc) in zip(pending, batch):
+            for h, (img, dep, _), trunc in zip(pending, batch, truncs):
                 if spr != ladder[-1] and bool(trunc):
                     retry.append(h)
                 else:
@@ -520,6 +527,13 @@ def make_eval_renderer(spec: ModelSpec, rspec: RenderSpec, chunk: int = 4096):
             pending = retry
             if not pending:
                 break
+        if len(ladder) > 1 and spr == ladder[-1]:
+            # truncs holds the last rung's flags for its accepted chunks
+            n_final_trunc = int(truncs.sum())
+            if n_final_trunc:
+                print(f"[eval] WARNING: {n_final_trunc} chunk(s) still "
+                      "sample-budget-truncated at the final ladder rung "
+                      f"(spr={spr:g}); tail rays may be zeroed", flush=True)
 
         imgs = [np.asarray(outs[h][0][: min(h + chunk, n) - h])
                 for h in heads]

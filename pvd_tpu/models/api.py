@@ -41,7 +41,10 @@ _IMPLS = {
 
 def init_field(rng, spec: ModelSpec):
     params = _IMPLS[spec.model_type].init(rng, spec)
-    if spec.bg_radius > 0 and spec.model_type != "tensors":
+    if spec.bg_radius > 0:
+        # the reference builds the bg sphere net for ANY model_type
+        # (network.py:154-182) — including tensors, whose dir encoder is
+        # the plenoxel-degree SH (ModelSpec.dir_sh_degree handles that)
         params["bg"] = _init_bg(jax.random.fold_in(rng, 0xB6), spec)
     return params
 

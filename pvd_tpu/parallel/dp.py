@@ -15,7 +15,11 @@ The objectives are the SAME functions the single-chip steps use
 (engine/train_steps.teacher_loss / distill_loss), so DP-vs-single-chip
 equivalence is structural: a DP step over n shards equals a single-chip
 step whose batch is the concatenation of the shards (up to the mean-of-
-means vs global-mean distinction, exact for equal shard sizes).
+means vs global-mean distinction, exact for equal shard sizes).  Known
+deviation: the distill point losses normalize by each shard's own
+valid-sample count before the pmean, so shards weigh equally regardless
+of how many valid samples they drew (the rgb term is exact; PSNR is
+computed from the pmean'd MSE so it matches single-chip exactly).
 
 Ray generation happens per shard (each device samples its own pixels from
 the replicated pose/image with a device-folded key), so no ray data ever
@@ -90,8 +94,10 @@ def make_dp_teacher_step(
                                           gt, bg, k_perturb)
             metrics = {
                 "loss": loss,
-                "psnr": -10.0 * jnp.log10(
-                    jnp.mean((out["image"] - gt) ** 2) + 1e-12),
+                # shard-local MSE; PSNR is taken AFTER the pmean so it
+                # matches the single-chip global-MSE PSNR (no Jensen gap
+                # from averaging log-space values)
+                "mse": jnp.mean((out["image"] - gt) ** 2),
                 "budget_hit": out["budget_hit_frac"],
                 "mask_frac": out["mask_frac"],
             }
@@ -111,6 +117,8 @@ def make_dp_teacher_step(
     @jax.jit
     def step(state: TrainState, pose, image_flat, key):
         metrics, grads = smap(state.params, state.occ, pose, image_flat, key)
+        metrics = dict(metrics)
+        metrics["psnr"] = -10.0 * jnp.log10(metrics.pop("mse") + 1e-12)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
@@ -262,7 +270,10 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
             rs = _dc.replace(rspec, samples_per_ray=spr,
                              max_samples=rspec.max_steps)
         else:
-            rs = _dc.replace(rspec, samples_per_ray=0.0)
+            # compaction off still marches the full trajectory (eval is
+            # never clipped by the training S_max; see make_eval_renderer)
+            rs = _dc.replace(rspec, samples_per_ray=0.0,
+                             max_samples=rspec.max_steps)
 
         def local_render(params, occ, pose, head):
             i_dev = jax.lax.axis_index("rays")

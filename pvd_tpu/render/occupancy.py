@@ -234,7 +234,7 @@ def mark_untrained_grid(
     poses = jnp.asarray(poses, jnp.float32)
 
     # ONE jitted program: running this body eagerly dispatches ~15
-    # primitives, and through a remote-TPU tunnel每 primitive pays its own
+    # primitives, and through a remote-TPU tunnel each primitive pays its own
     # multi-second compile — the eager version stalled startup for minutes
     def body(density_grid, poses):
         coords = jnp.stack(

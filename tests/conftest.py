@@ -3,9 +3,15 @@
 Must set the env vars before jax is imported anywhere.
 """
 
+import gc
 import os
 
+import pytest
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# TB writers spawn event-pump threads per Trainer; across the full suite
+# they exhaust threads/fds and SIGABRT the process — keep TB off in tests
+os.environ["PVD_DISABLE_TB"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,3 +30,21 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture(autouse=True)
+def _close_leaked_trainers():
+    """Close any Trainer a test left open (releases TB writers, host-batcher
+    threads, and jitted-step caches — the round-2 full-suite SIGABRT)."""
+    yield
+    try:
+        from pvd_tpu.engine.trainer import Trainer
+    except Exception:
+        return
+    if Trainer._instances:
+        for tr in list(Trainer._instances):
+            try:
+                tr.close()
+            except Exception:
+                pass
+    gc.collect()

@@ -45,9 +45,15 @@ def main():
     ap.add_argument("--smax", type=int, default=32)
     ap.add_argument("--cell_levels", type=int, default=9)
     ap.add_argument("--res0", type=int, default=300)
+    ap.add_argument("--spr", type=float, default=8.0,
+                    help="samples_per_ray budget (tuned prod config: 8)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from pvd_tpu.config import ModelSpec, PVDConfig
     from pvd_tpu.engine.optim import build_optimizer, cosine_schedule
@@ -63,7 +69,8 @@ def main():
 
     N, S = args.rays, args.smax
     cfg = PVDConfig(num_rays=N, max_samples=S, grid_size=128, max_steps=1024,
-                    resolution0=args.res0)
+                    resolution0=args.res0, samples_per_ray=args.spr,
+                    autotune_budget=False)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
                          hash_cell_levels=args.cell_levels)
@@ -113,8 +120,11 @@ def main():
     print(f"  est gather rows: coarse={rows_coarse/1e6:.2f}M "
           f"fine={rows_fine/1e6:.2f}M  -> {(rows_coarse+rows_fine)/0.16e9*1e3:.1f} ms @160M rows/s")
 
-    xyz = jnp.zeros((N * S, 3))
-    dirs = jnp.zeros((N * S, 3))
+    # field nets run on the COMPACTED budget, not N*S padded samples
+    M = rspec.sample_budget(N) or N * S
+    print(f"compacted budget M={M}")
+    xyz = jnp.zeros((M, 3))
+    dirs = jnp.zeros((M, 3))
 
     # --- student forward only ---
     @jax.jit
@@ -123,8 +133,8 @@ def main():
         return out.sigma, out.rgb
 
     ms = bench_fn(stu_fwd, (params_stu, xyz, dirs))
-    print(f"stu_fwd ({N*S} pts): {ms:7.2f} ms   "
-          f"(6 rows/pt = {N*S*6/1e6:.2f}M rows -> {N*S*6/0.16e9*1e3:.1f} ms)")
+    print(f"stu_fwd ({M} pts): {ms:7.2f} ms   "
+          f"(6 rows/pt = {M*6/1e6:.2f}M rows -> {M*6/0.16e9*1e3:.1f} ms)")
 
     # --- teacher forward only ---
     @jax.jit
@@ -133,8 +143,8 @@ def main():
         return out.sigma, out.rgb
 
     ms = bench_fn(tea_fwd, (params_tea, xyz, dirs))
-    print(f"tea_fwd ({N*S} pts): {ms:7.2f} ms   "
-          f"(14 rows/pt = {N*S*14/1e6:.2f}M rows -> {N*S*14/0.16e9*1e3:.1f} ms)")
+    print(f"tea_fwd ({M} pts): {ms:7.2f} ms   "
+          f"(14 rows/pt = {M*14/1e6:.2f}M rows -> {M*14/0.16e9*1e3:.1f} ms)")
 
     # --- student fwd+bwd (render-only grad) ---
     @jax.jit
