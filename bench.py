@@ -89,13 +89,11 @@ def bench_config(label, cfg, iters):
     import jax.numpy as jnp
 
     from pvd_tpu.config import ModelSpec
-    from pvd_tpu.data.poses import pose_spherical
     from pvd_tpu.engine.optim import build_optimizer, cosine_schedule
     from pvd_tpu.engine.train_steps import TrainState, make_distill_step
     from pvd_tpu.models import init_field
     from pvd_tpu.models.api import param_group_label, trainable_label
     from pvd_tpu.models.hash_field import attach_packed
-    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
     from pvd_tpu.render import init_occupancy_state
     from pvd_tpu.render.occupancy import set_bitfield
 
@@ -124,6 +122,9 @@ def bench_config(label, cfg, iters):
     )
     state = TrainState(params=params_stu, opt_state=opt.init(params_stu),
                        occ=occ, step=jnp.int32(0))
+
+    from pvd_tpu.data.poses import pose_spherical
+    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
 
     pose = jnp.asarray(nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0),
                                           scale=0.8))

@@ -264,8 +264,11 @@ def _corner_gather_sum(table, rows, w, level_offsets, n_corners, gather_dtype):
     L = rows.shape[1] // K
     C = table.shape[1]
     src = table.astype(gather_dtype) if gather_dtype else table
-    # corner-major flat gather: [(L*K)*N, C] -> major-split to [L*K, N, C]
-    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L * K, N, C)
+    # corner-major flat gather: [(L*K)*N, C] -> major-split to [L*K, N, C].
+    # mode="clip": jnp.take's default fill mode produces NaN rows for
+    # out-of-bounds indices (oob inputs); oob zeroing is done by the w mask
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0,
+                    mode="clip").reshape(L * K, N, C)
     # bf16 saves gather BYTES; the weighted sum upcasts to f32 (free)
     wv = vals.astype(jnp.float32) * w.T[..., None]  # [L*K, N, C]
     return wv.reshape(L, K, N, C).sum(axis=1).astype(table.dtype)
@@ -285,7 +288,8 @@ def _corner_gather_sum_bwd(level_offsets, n_corners, gather_dtype, res, g):
     L = total // K
     C = table.shape[1]
     src = table.astype(gather_dtype) if gather_dtype else table
-    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L * K, N, C)
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0,
+                    mode="clip").reshape(L * K, N, C)
     # g: [L, N, C] -> corner-major [L*K, N, C]
     g_rep = jnp.repeat(g, K, axis=0)
     g_w = jnp.sum(vals.astype(g_rep.dtype) * g_rep, axis=-1)  # [L*K, N]
@@ -338,7 +342,8 @@ def _cell_gather_sum(cell_table, rows, w, rows_per_level, n_corners,
     KC = cell_table.shape[1]
     C = KC // K
     src = cell_table.astype(gather_dtype) if gather_dtype else cell_table
-    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L, N, KC)
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0,
+                    mode="clip").reshape(L, N, KC)
     R = _repeat_mat(K, C, jnp.float32)
     S = _sum_mat(K, C, jnp.float32)
     outs = []
@@ -361,7 +366,8 @@ def _cell_gather_sum_bwd(rows_per_level, n_corners, gather_dtype, res, g):
     KC = cell_table.shape[1]
     C = KC // K
     src = cell_table.astype(gather_dtype) if gather_dtype else cell_table
-    vals = jnp.take(src, rows.T.reshape(-1), axis=0).reshape(L, N, KC)
+    vals = jnp.take(src, rows.T.reshape(-1), axis=0,
+                    mode="clip").reshape(L, N, KC)
     R = _repeat_mat(K, C, jnp.float32)
     S = _sum_mat(K, C, jnp.float32)
     parts = []
@@ -473,7 +479,15 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
     C = spec.level_dim
     N = x01.shape[0]
     x01 = jnp.asarray(x01, jnp.float32)
-    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1)  # [N]
+    # oob zeroing (gridencoder.cu:98-123: out-of-[0,1] inputs -> 0 for every
+    # level) is folded into the interpolation WEIGHTS: a post-concat
+    # jnp.where on the [N, L*C] output measured 2.6 ms/step on v5e (it
+    # forces a relayout of the oddly-shaped concat), while w * okf fuses
+    # into the weight computation for free.  Gathers use mode="clip" so oob
+    # indices read an arbitrary in-bounds row (finite) and the zero weight
+    # produces an exact 0.
+    okf = 1.0 - jnp.any((x01 < 0.0) | (x01 > 1.0),
+                        axis=-1).astype(jnp.float32)[:, None]  # [N, 1]
     offsets = spec.offsets
 
     # Corner offsets [2^D, D]: bit d of corner id selects +1 along dim d.
@@ -497,7 +511,7 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
             sel[None] * frac[:, None, :]
             + (1.0 - sel[None]) * (1.0 - frac[:, None, :]),
             axis=-1,
-        )  # [N, 2^D]
+        ) * okf  # [N, 2^D]; okf zeroes out-of-range inputs
 
         if spec.is_cell_level(level):
             assert cell_table is not None, "cell levels need a cell_table"
@@ -541,7 +555,8 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
         rows = jnp.concatenate(
             [b + jnp.int32(packed_off[lv]) for b, lv in
              zip(dense_base, dense_levels)], axis=0)  # [Ld*N] level-major
-        vals = jnp.take(packed, rows, axis=0).reshape(Ld, N, 8 * C)
+        vals = jnp.take(packed, rows, axis=0, mode="clip").reshape(Ld, N,
+                                                                   8 * C)
         R = _repeat_mat(8, C, jnp.float32)
         S = _sum_mat(8, C, jnp.float32)
         for i, level in enumerate(dense_levels):
@@ -570,5 +585,4 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
         for i, level in enumerate(cell_levels):
             level_out[level] = outs[i]
 
-    out = jnp.concatenate(level_out, axis=-1)  # [N, L*C]
-    return jnp.where(oob[:, None], jnp.zeros_like(out), out)
+    return jnp.concatenate(level_out, axis=-1)  # [N, L*C]; oob rows are 0
