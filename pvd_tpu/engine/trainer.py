@@ -131,11 +131,6 @@ class Trainer:
                 self.log(f"[mesh] num_rays {cfg.num_rays} -> {new_rays} "
                          f"(rounded up to n_devices={n_dev})")
                 cfg.num_rays = new_rays
-            if cfg.error_map:
-                self.log("[warn] --error_map is host-global; data-parallel "
-                         "runs sample rays uniformly (importance sampling "
-                         "disabled)")
-                cfg.error_map = False
             if not cfg.preload:
                 self.log("[mesh] preload forced on: the host batcher is "
                          "single-stream; DP samples pixels in-shard")
@@ -196,6 +191,15 @@ class Trainer:
         """Load a teacher checkpoint; warm-start the student from its MLP
         heads and inherit its occupancy grid (utils.py:1477-1559)."""
         payload = ckpt.load_checkpoint(path)
+        got = tuple(payload["occ"].bitfield.shape)
+        exp = tuple(self.state.occ.bitfield.shape)
+        if got != exp:
+            raise ValueError(
+                f"teacher occupancy grid {got} != this run's {exp}: the "
+                "student inherits the teacher's grid verbatim, so "
+                "--grid_size/--bound must match the teacher's training "
+                "settings (indexing a mismatched bitfield garbles the march)"
+            )
         self.params_tea = payload["params"]
         self.occ_tea = payload["occ"]
         params = ckpt.warm_start_student(self.state.params, self.params_tea)
@@ -285,12 +289,14 @@ class Trainer:
                         self.spec_stu, self.rspec, self.opt, self.cfg,
                         self.mesh, intr, H, W, image_channels=C,
                         ema_decay=self.cfg.ema_decay,
+                        use_error_map=self.cfg.error_map,
                     )
                 else:
                     self._steps[key] = make_dp_distill_step(
                         self.spec_stu, self.spec_tea, self.rspec, self.opt,
                         self.cfg, self.mesh, intr, H, W, stage=stage,
                         ema_decay=self.cfg.ema_decay,
+                        use_error_map=self.cfg.error_map,
                     )
             elif self.mode == "teacher":
                 self._steps[key] = make_teacher_step(
@@ -599,9 +605,16 @@ class Trainer:
                     )
                 elif self.mode == "teacher" and self.mesh is not None:
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
-                    self.state, metrics = step_fn(
-                        self.state, poses[idx], images[idx], k_step
-                    )
+                    if self.error_map is not None:
+                        self.state, emap, metrics = step_fn(
+                            self.state, poses[idx], images[idx],
+                            self.error_map[idx], k_step,
+                        )
+                        self.error_map = self.error_map.at[idx].set(emap)
+                    else:
+                        self.state, metrics = step_fn(
+                            self.state, poses[idx], images[idx], k_step
+                        )
                 elif self.mode == "teacher":
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
                     emap = (

@@ -59,23 +59,29 @@ def make_dp_teacher_step(
     W: int,
     image_channels: int,
     ema_decay: float = -1.0,
+    use_error_map: bool = False,
 ):
     """Returns jitted step(state, pose [4,4], image_flat [H*W, C], key).
 
     state/pose/image replicated; each device ray-samples its
-    num_rays/n_devices share in-shard.  Signature matches the single-chip
-    make_teacher_step minus the error map (importance sampling is
-    host-global; DP runs uniform sampling — the Trainer warns).
+    num_rays/n_devices share in-shard.  With use_error_map the signature
+    becomes step(state, pose, image_flat, emap [128*128], key) ->
+    (state, new_emap, metrics): the 128^2 coarse map REPLICATES, every
+    device importance-draws its ray share from it (get_rays, reference
+    utils.py:353-381), and the per-ray losses + coarse indices come back
+    sharded over 'rays' so the EMA cell update (utils.py:1125-1133) runs
+    once at the jit level over the full batch — single-chip semantics.
     """
     intr = tuple(float(v) for v in intrinsics)
     n_dev = mesh.devices.size
     assert cfg.num_rays % n_dev == 0, (cfg.num_rays, n_dev)
     local_rays = cfg.num_rays // n_dev
 
-    def local_grad(params, occ, pose, image_flat, key):
+    def local_grad(params, occ, pose, image_flat, emap, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
         k_rays, k_bg, k_perturb = jax.random.split(key, 3)
-        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays)
+        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays,
+                        error_map=emap[None] if use_error_map else None)
         o, d = rays["rays_o"][0], rays["rays_d"][0]
         pix = image_flat[rays["inds"][0]]
         if cfg.color_space == "linear":
@@ -90,8 +96,8 @@ def make_dp_teacher_step(
         # shard_map whose only device-varying input is the folded RNG can't
         # infer the grads' replication, so we don't ask it to
         def loss_fn(p):
-            loss, (out, _) = teacher_loss(p, spec, rspec, cfg, occ, o, d,
-                                          gt, bg, k_perturb)
+            loss, (out, per_ray) = teacher_loss(p, spec, rspec, cfg, occ, o,
+                                                d, gt, bg, k_perturb)
             metrics = {
                 "loss": loss,
                 # shard-local MSE; PSNR is taken AFTER the pmean so it
@@ -101,22 +107,23 @@ def make_dp_teacher_step(
                 "budget_hit": out["budget_hit_frac"],
                 "mask_frac": out["mask_frac"],
             }
-            return loss, metrics
+            return loss, (metrics, per_ray)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        return _pmean_tree(metrics), _pmean_tree(grads)
+        (_, (metrics, per_ray)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        coarse = (rays["inds_coarse"][0] if use_error_map
+                  else jnp.zeros((local_rays,), jnp.int32))
+        return (_pmean_tree(metrics), _pmean_tree(grads),
+                coarse, jax.lax.stop_gradient(per_ray))
 
     smap = jax.shard_map(
         local_grad,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P("rays"), P("rays")),
     )
 
-    @jax.jit
-    def step(state: TrainState, pose, image_flat, key):
-        metrics, grads = smap(state.params, state.occ, pose, image_flat, key)
+    def _apply(state, metrics, grads):
         metrics = dict(metrics)
         metrics["psnr"] = -10.0 * jnp.log10(metrics.pop("mse") + 1e-12)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -131,6 +138,25 @@ def make_dp_teacher_step(
                           step=state.step + 1, ema_params=ema),
             metrics,
         )
+
+    if use_error_map:
+
+        @jax.jit
+        def step_emap(state: TrainState, pose, image_flat, emap, key):
+            metrics, grads, coarse, per_ray = smap(
+                state.params, state.occ, pose, image_flat, emap, key)
+            state, metrics = _apply(state, metrics, grads)
+            new_emap = emap.at[coarse].set(0.1 * emap[coarse] + 0.9 * per_ray)
+            return state, new_emap, metrics
+
+        return step_emap
+
+    @jax.jit
+    def step(state: TrainState, pose, image_flat, key):
+        zero = jnp.zeros((128 * 128,), jnp.float32)
+        metrics, grads, _, _ = smap(state.params, state.occ, pose,
+                                    image_flat, zero, key)
+        return _apply(state, metrics, grads)
 
     return step
 
@@ -147,6 +173,7 @@ def make_dp_distill_step(
     W: int,
     stage: int = 3,
     ema_decay: float = -1.0,
+    use_error_map: bool = False,
 ):
     """Data-parallel distillation step (stage static).
 
@@ -154,6 +181,13 @@ def make_dp_distill_step(
     replicated; rays sampled per shard.  The student marches; the teacher
     inherits the student's samples AND compaction, so the teacher pass
     shards identically with zero extra communication.
+
+    With use_error_map the signature becomes
+    step(state, params_tea, occ_tea, pose, emap [128*128], key) ->
+    (state, new_emap, logs): the replicated coarse map drives per-shard
+    importance draws and — at stage 3 with L2 loss — the sharded per-ray
+    rgb losses EMA-update the sampled cells once at the jit level
+    (distill_mutual/utils.py:1120-1130; same semantics as single-chip).
     """
     assert stage in (1, 2, 3)
     intr = tuple(float(v) for v in intrinsics)
@@ -161,10 +195,12 @@ def make_dp_distill_step(
     assert cfg.num_rays % n_dev == 0, (cfg.num_rays, n_dev)
     local_rays = cfg.num_rays // n_dev
 
-    def local_grad(params_stu, params_tea, occ, occ_tea, pose, key, step_i):
+    def local_grad(params_stu, params_tea, occ, occ_tea, pose, emap, key,
+                   step_i):
         key = jax.random.fold_in(key, jax.lax.axis_index("rays"))
         k_rays, k_bg, k_perturb = jax.random.split(key, 3)
-        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays)
+        rays = get_rays(k_rays, pose[None], intr, H, W, local_rays,
+                        error_map=emap[None] if use_error_map else None)
         o, d = rays["rays_o"][0], rays["rays_d"][0]
         bg = jax.random.uniform(k_bg, (local_rays, 3))
 
@@ -174,21 +210,23 @@ def make_dp_distill_step(
                 occ, occ_tea, o, d, bg, k_perturb, step_i,
             )
 
-        (_, (logs, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params_stu)
-        return _pmean_tree(logs), _pmean_tree(grads)
+        (_, (logs, per_ray)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params_stu)
+        if per_ray is None:  # stages 1/2 render no image
+            per_ray = jnp.zeros((local_rays,), jnp.float32)
+        coarse = (rays["inds_coarse"][0] if use_error_map
+                  else jnp.zeros((local_rays,), jnp.int32))
+        return (_pmean_tree(logs), _pmean_tree(grads),
+                coarse, jax.lax.stop_gradient(per_ray))
 
     smap = jax.shard_map(
         local_grad,
         mesh=mesh,
-        in_specs=(P(),) * 7,
-        out_specs=(P(), P()),
+        in_specs=(P(),) * 8,
+        out_specs=(P(), P(), P("rays"), P("rays")),
     )
 
-    @jax.jit
-    def step(state: TrainState, params_tea, occ_tea, pose, key):
-        logs, grads = smap(state.params, params_tea, state.occ, occ_tea,
-                           pose, key, state.step)
+    def _apply(state, logs, grads):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
@@ -201,6 +239,30 @@ def make_dp_distill_step(
                           step=state.step + 1, ema_params=ema),
             logs,
         )
+
+    if use_error_map:
+
+        @jax.jit
+        def step_emap(state: TrainState, params_tea, occ_tea, pose, emap,
+                      key):
+            logs, grads, coarse, per_ray = smap(
+                state.params, params_tea, state.occ, occ_tea, pose, emap,
+                key, state.step)
+            state, logs = _apply(state, logs, grads)
+            new_emap = emap
+            if stage == 3 and cfg.loss_type == "L2":
+                new_emap = emap.at[coarse].set(
+                    0.1 * emap[coarse] + 0.9 * per_ray)
+            return state, new_emap, logs
+
+        return step_emap
+
+    @jax.jit
+    def step(state: TrainState, params_tea, occ_tea, pose, key):
+        zero = jnp.zeros((128 * 128,), jnp.float32)
+        logs, grads, _, _ = smap(state.params, params_tea, state.occ,
+                                 occ_tea, pose, zero, key, state.step)
+        return _apply(state, logs, grads)
 
     return step
 

@@ -44,17 +44,41 @@ class OccupancyState:
 
 
 NEIGHBOR_RADIUS = 2  # 5^3 neighborhood -> 125 bits in 4 uint32 words
+MC_NEIGHBOR_RADIUS = 3  # 7^3 neighborhood -> 343 bits in 11 u32 (pad to 12)
+MC_WORDS = 12
+
+
+def _shifted_grid(g, axis_shifts):
+    """g [..., X, Y, Z] shifted so out[x,y,z] = g[x+dx, y+dy, z+dz] (zero
+    padded); leading batch dims untouched."""
+    nb = g.ndim - 3
+    out = g
+    for ax3, s in enumerate(axis_shifts):
+        axis = nb + ax3
+        H = g.shape[axis]
+        if s == 0:
+            continue
+        pad = [(0, 0)] * g.ndim
+        sl = [slice(None)] * g.ndim
+        if s > 0:
+            pad[axis] = (0, s)
+            sl[axis] = slice(s, H + s)
+        else:
+            pad[axis] = (-s, 0)
+            sl[axis] = slice(0, H)
+        out = jnp.pad(out, pad)[tuple(sl)]
+    return out
 
 
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks(bitfield, H: int):
     """Pack each cell's 5^3-neighborhood occupancy into 4 uint32 words.
 
-    Single-cascade only (the probe marcher's domain); multi-cascade scenes
-    get a [1, 4] zero placeholder.  Built with 125 shifted-pad passes over
-    the bool grid — pure VPU work, paid only at occupancy updates.  Jitted:
-    eagerly these ~375 primitives each pay their own dispatch/compile
-    through a remote-TPU tunnel.
+    Single-cascade only (the exact probe marcher's domain); multi-cascade
+    scenes get a [1, 4] zero placeholder.  Built with 125 shifted-pad passes
+    over the bool grid — pure VPU work, paid only at occupancy updates.
+    Jitted: eagerly these ~375 primitives each pay their own
+    dispatch/compile through a remote-TPU tunnel.
     """
     C = bitfield.shape[0] // (H * H * H)
     if C != 1:
@@ -62,33 +86,38 @@ def build_neighbor_masks(bitfield, H: int):
     g = bitfield.reshape(H, H, H)
     R = NEIGHBOR_RADIUS
     words = [jnp.zeros((H, H, H), jnp.uint32) for _ in range(4)]
-
-    def shifted(axis_shifts):
-        """Grid shifted so out[x,y,z] = g[x+dx, y+dy, z+dz] (zero padded)."""
-        out = g
-        for axis, s in enumerate(axis_shifts):
-            if s == 0:
-                continue
-            pad = [(0, 0)] * 3
-            if s > 0:
-                pad[axis] = (0, s)
-                sl = [slice(None)] * 3
-                sl[axis] = slice(s, H + s)
-            else:
-                pad[axis] = (-s, 0)
-                sl = [slice(None)] * 3
-                sl[axis] = slice(0, H)
-            out = jnp.pad(out, pad)[tuple(sl)]
-        return out
-
     for dx in range(-R, R + 1):
         for dy in range(-R, R + 1):
             for dz in range(-R, R + 1):
                 bit = (dz + R) * 25 + (dy + R) * 5 + (dx + R)
-                w = shifted((dx, dy, dz)).astype(jnp.uint32) << jnp.uint32(
-                    bit % 32)
+                w = _shifted_grid(g, (dx, dy, dz)).astype(jnp.uint32) \
+                    << jnp.uint32(bit % 32)
                 words[bit // 32] = words[bit // 32] | w
     return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [H^3, 4]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def build_neighbor_masks_mc(bitfield, H: int):
+    """Pack 7^3-neighborhood occupancy per cascade: [C*H^3, 12] uint32.
+
+    The multi-cascade / dt_gamma>0 probe marcher's table (renderer.
+    _probe_march_occ_mc): bit (dz+3)*49+(dy+3)*7+(dx+3) of row
+    cas*H^3 + (x*H+y)*H+z holds cascade `cas`'s occupancy of cell
+    (x+dx, y+dy, z+dz).  343 shifted-pad passes, batched over cascades.
+    """
+    C = bitfield.shape[0] // (H * H * H)
+    g = bitfield.reshape(C, H, H, H)
+    R = MC_NEIGHBOR_RADIUS
+    side = 2 * R + 1
+    words = [jnp.zeros((C, H, H, H), jnp.uint32) for _ in range(MC_WORDS)]
+    for dx in range(-R, R + 1):
+        for dy in range(-R, R + 1):
+            for dz in range(-R, R + 1):
+                bit = (dz + R) * side * side + (dy + R) * side + (dx + R)
+                w = _shifted_grid(g, (dx, dy, dz)).astype(jnp.uint32) \
+                    << jnp.uint32(bit % 32)
+                words[bit // 32] = words[bit // 32] | w
+    return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [C*H^3, 12]
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -116,15 +145,27 @@ def dilate_bitfield(bitfield, H: int, radius: int = 2):
     return g.reshape(-1)
 
 
+def _probe_masks(bitfield, H: int, C: int, dt_gamma: float):
+    """Choose the probe-mask flavor for the config: exact 5^3 single-mask
+    (single cascade, dt_gamma==0) or per-cascade 7^3 masks otherwise."""
+    if C == 1 and dt_gamma == 0.0:
+        return build_neighbor_masks(bitfield, H)
+    return build_neighbor_masks_mc(bitfield, H)
+
+
 def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
     H, C = rspec.grid_size, rspec.cascades
     b = rspec.bound
     aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+    if C == 1 and rspec.dt_gamma == 0.0:
+        masks = jnp.zeros((H * H * H, 4), jnp.uint32)
+    else:
+        masks = jnp.zeros((C * H * H * H, MC_WORDS), jnp.uint32)
     return OccupancyState(
         density_grid=jnp.zeros((C, H, H, H), jnp.float32),
         bitfield=jnp.zeros((C * H * H * H,), bool),
         bitfield_dilated=jnp.zeros((C * H * H * H,), bool),
-        neighbor_masks=jnp.zeros((H * H * H if C == 1 else 1, 4), jnp.uint32),
+        neighbor_masks=masks,
         mean_density=jnp.float32(0.0),
         iter_density=jnp.int32(0),
         aabb_train=aabb,
@@ -214,7 +255,7 @@ def update_density_grid(
         density_grid=new_grid,
         bitfield=bitfield,
         bitfield_dilated=dilate_bitfield(bitfield, H),
-        neighbor_masks=build_neighbor_masks(bitfield, H),
+        neighbor_masks=_probe_masks(bitfield, H, C, rspec.dt_gamma),
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
     )
@@ -270,12 +311,19 @@ def mark_untrained_grid(
 
 def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
     """Replace the bitfield and keep the derived fields (dilated bitfield,
-    neighbor masks) consistent."""
+    neighbor masks) consistent.  The probe-mask flavor is inferred from the
+    state's existing neighbor_masks shape (set by init_occupancy_state from
+    the RenderSpec)."""
     H = state.density_grid.shape[1]
+    C = state.density_grid.shape[0]
+    if state.neighbor_masks.shape[-1] == MC_WORDS:
+        masks = build_neighbor_masks_mc(bitfield, H)
+    else:
+        masks = build_neighbor_masks(bitfield, H)
     return state.replace(
         bitfield=bitfield,
         bitfield_dilated=dilate_bitfield(bitfield, H),
-        neighbor_masks=build_neighbor_masks(bitfield, H),
+        neighbor_masks=masks,
     )
 
 

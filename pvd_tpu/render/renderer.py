@@ -236,6 +236,86 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     return occ.reshape(N, L), ts.reshape(N, L)
 
 
+def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
+                        rspec: RenderSpec):
+    """Occupancy [N, L] for multi-cascade and/or dt_gamma>0 lattices via
+    per-cascade 7^3 packed-neighborhood probes (occupancy.
+    build_neighbor_masks_mc), one gather per 4 lattice points.
+
+    Each window of 4 points probes at its second point; a fine point is
+    resolved from the probe's 343-bit mask when (a) its mip equals the
+    probe's mip and (b) its cell lies within +-3 cells of the probe cell in
+    that mip's frame.  Unresolvable points (mip transition inside the
+    window, or top-mip steps at the sqrt(3) dt_max overrun) are marked
+    occupied IF the probe's neighborhood holds any occupancy at all — a
+    conservative extra sample near geometry costs budget, while fully
+    empty neighborhoods keep the reference's sample-nothing behavior
+    (empty grid -> pure background stays exact).  The mip rule
+    (raymarching.cu:44-56) bounds dt by the selected mip's cell size
+    (x sqrt(3) at the top mip), so the 2-step max probe distance stays
+    within radius 3 except in that overrun corner.
+    """
+    N, L = ts.shape
+    H = rspec.grid_size
+    C = rspec.cascades
+    F = 4
+    W = L // F
+    R = 3
+    side = 7
+
+    def levels(pos, dt):
+        if C == 1:
+            return jnp.zeros(pos.shape[:-1], jnp.int32)
+        mx = jnp.max(jnp.abs(pos), axis=-1)
+        lvl_pos = jnp.clip(jnp.frexp(mx)[1], 0, C - 1)
+        lvl_dt = jnp.clip(jnp.frexp(dt * H * 0.5)[1], 0, C - 1)
+        return jnp.maximum(lvl_pos, lvl_dt)
+
+    def mip_bound(level):
+        return jnp.minimum(2.0 ** level.astype(jnp.float32),
+                           rspec.bound)
+
+    # probe at the second point of each window
+    ts_p = ts[:, 1::F]  # [N, W]
+    dts_p = dts[:, 1::F]
+    pos_p = rays_o[:, None, :] + ts_p[..., None] * rays_d[:, None, :]
+    pos_p = jnp.clip(pos_p, -rspec.bound, rspec.bound)
+    lvl_p = levels(pos_p, dts_p)  # [N, W]
+    mb_p = mip_bound(lvl_p)[..., None]
+    cell_p = jnp.clip((0.5 * (pos_p / mb_p + 1.0) * H).astype(jnp.int32),
+                      0, H - 1)  # [N, W, 3]
+    row = (cell_p[..., 0] * H + cell_p[..., 1]) * H + cell_p[..., 2] \
+        + lvl_p * (H * H * H)
+    masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0,
+                     mode="clip").reshape(N, W, neighbor_masks.shape[-1])
+
+    # fine points
+    ts_f = ts.reshape(N, W, F)
+    dts_f = dts.reshape(N, W, F)
+    pos = rays_o[:, None, None, :] + ts_f[..., None] * rays_d[:, None,
+                                                             None, :]
+    pos = jnp.clip(pos, -rspec.bound, rspec.bound)
+    lvl_k = levels(pos, dts_f)  # [N, W, F]
+    # fine cell in the PROBE's mip frame (unclipped for the reach test)
+    n_k = jnp.floor(0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H).astype(
+        jnp.int32)
+    delta = n_k - cell_p[:, :, None, :]
+    inside = jnp.all((delta >= -R) & (delta <= R), axis=-1)  # [N, W, F]
+    resolved = inside & (lvl_k == lvl_p[..., None])
+    dc = jnp.clip(delta, -R, R) + R
+    bit = (dc[..., 2] * side + dc[..., 1]) * side + dc[..., 0]
+    word_i = bit // 32
+    bit_i = (bit % 32).astype(jnp.uint32)
+    word = jnp.zeros(bit.shape, jnp.uint32)
+    for wi in range(neighbor_masks.shape[-1]):
+        word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
+    occ_bit = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
+    any_geo = jnp.any(masks != 0, axis=-1)  # [N, W]
+    occ = jnp.where(resolved, occ_bit, any_geo[..., None])
+    occ = occ & (ts_f < fars[:, None, None])
+    return occ.reshape(N, L)
+
+
 def march_rays(
     bitfield,
     rays_o,
@@ -265,13 +345,22 @@ def march_rays(
         t0 = t0 + dt_min * jax.random.uniform(perturb_key, (N,))
 
     use_probe = neighbor_masks is not None and rspec.use_coarse_march \
-        and neighbor_masks.shape[0] > 1
-    use_coarse = (not use_probe) and bitfield_dilated is not None \
-        and rspec.use_coarse_march
+        and neighbor_masks.shape[0] > 1 and neighbor_masks.shape[-1] == 4
+    # multi-cascade / dt_gamma>0 probe path (per-cascade 7^3 masks)
+    use_probe_mc = (not use_probe) and neighbor_masks is not None \
+        and rspec.coarse_march and neighbor_masks.shape[0] > 1 \
+        and neighbor_masks.shape[-1] != 4 and L % 4 == 0
+    use_coarse = (not use_probe) and (not use_probe_mc) \
+        and bitfield_dilated is not None and rspec.use_coarse_march
     if use_probe:
         occ, ts = _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
                                    rspec)
         dts = jnp.full_like(ts, dt_min)
+        lattice_valid = None
+    elif use_probe_mc:
+        ts, dts = _t_lattice(t0, rspec)  # [N, L]
+        occ = _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts,
+                                  fars, rspec)
         lattice_valid = None
     elif use_coarse:
         F = rspec.coarse_stride
@@ -295,7 +384,7 @@ def march_rays(
         ts, dts = _t_lattice(t0, rspec)  # [N, L]
         lattice_valid = None
 
-    if not use_probe:
+    if not (use_probe or use_probe_mc):
         pos = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
         pos = jnp.clip(pos, -rspec.bound, rspec.bound)
         occ = _occupancy_lookup(bitfield, pos, dts, rspec)

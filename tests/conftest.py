@@ -26,8 +26,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: first-touch primitive compiles dominate CPU test
-# time; cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# time; cache them across runs.  The dir is keyed by this machine's CPU
+# flags — XLA:CPU AOT executables from a different host SIGILL ("Fatal
+# Python error" mid-suite, seen when /tmp survives across machine types)
+import hashlib  # noqa: E402
+
+def _cpu_key():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "generic"
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_test_cache_{_cpu_key()}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -1,8 +1,12 @@
 """Any-to-any distillation smoke matrix (BASELINE config 5 scope).
 
-All 4 architectures can act as teacher and as student; this runs a diverse
-subset of pairs for a handful of steps each (full 16-pair sweep is covered
-by the pairs' union of teacher/student roles)."""
+All 4 architectures act as teacher and as student: the FULL 16-pair
+matrix executes (reference scope: main_distill_mutual.py:43-236
+teacher_type x model_type), each pair for a handful of steps at the tiny
+config, asserting step count and finite test PSNR.  The 4 teachers train
+once (module fixture) and are shared across their 4 student runs."""
+
+import itertools
 
 import numpy as np
 import jax.numpy as jnp
@@ -13,11 +17,8 @@ from pvd_tpu.data.provider import NeRFDataset
 from pvd_tpu.data.synth import make_synthetic_scene
 from pvd_tpu.engine.trainer import Trainer
 
-PAIRS = [
-    ("mlp", "tensors"),   # mlp teacher, plenoxels student (stage1 disabled)
-    ("tensors", "hash"),  # plenoxels teacher, hash student
-    ("vm", "mlp"),        # vm teacher, mlp student
-]
+ARCHS = ["hash", "mlp", "vm", "tensors"]
+PAIRS = list(itertools.product(ARCHS, ARCHS))
 
 
 @pytest.fixture(scope="module")
@@ -73,16 +74,24 @@ def test_distill_llff_tank_through_cli(scene, tmp_path_factory, data_type):
     assert out, ws_s  # eval artifacts written
 
 
-@pytest.mark.parametrize("teacher,student", PAIRS)
-def test_distill_pair(scene, tmp_path_factory, teacher, student):
-    # quick teacher
-    ws_t = str(tmp_path_factory.mktemp(f"t_{teacher}"))
-    cfg_t = _cfg(scene, ws_t, model_type=teacher, iters=24)
-    tr_t = Trainer(cfg_t, mode="teacher")
-    ds = NeRFDataset(cfg_t, "train")
-    tr_t.train(ds)
-    tea_path = tr_t.save()
+@pytest.fixture(scope="module")
+def teacher_ckpts(scene, tmp_path_factory):
+    """Train each architecture as a teacher once; share across pairs."""
+    paths = {}
+    for arch in ARCHS:
+        ws_t = str(tmp_path_factory.mktemp(f"t_{arch}"))
+        cfg_t = _cfg(scene, ws_t, model_type=arch, iters=24)
+        tr_t = Trainer(cfg_t, mode="teacher")
+        tr_t.train(NeRFDataset(cfg_t, "train"))
+        paths[arch] = tr_t.save()
+        tr_t.close()
+    return paths
 
+
+@pytest.mark.parametrize("teacher,student", PAIRS)
+def test_distill_pair(scene, tmp_path_factory, teacher_ckpts, teacher,
+                      student):
+    tea_path = teacher_ckpts[teacher]
     ws_s = str(tmp_path_factory.mktemp(f"s_{teacher}2{student}"))
     cfg = _cfg(
         scene, ws_s, model_type=student, teacher_type=teacher,

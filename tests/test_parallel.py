@@ -123,10 +123,15 @@ def test_dp_grads_match_singlechip(mesh):
                                 step_i)[0]
             return jax.lax.pmean(loss, "rays")
 
+        # check_vma=False: the VM plane sampler's custom_vjp backward is
+        # opaque to shard_map's replication checker, so grad-through-
+        # shard_map can't statically prove the params cotangent replicated.
+        # The psum insertion itself is unaffected — this very test verifies
+        # the resulting gradients against single-chip numerically.
         smap = jax.shard_map(
             local_loss, mesh=mesh,
             in_specs=(P(), P("rays"), P("rays"), P("rays")),
-            out_specs=P(),
+            out_specs=P(), check_vma=False,
         )
         # grad-of-shard_map must run under jit: eagerly, the unsharded ray
         # arrays' replicated layout conflicts with in_specs=P('rays')
@@ -208,3 +213,53 @@ def test_trainer_dp_teacher_improves_psnr(tmp_path):
     # eval path under the mesh
     stats = tr.evaluate(NeRFDataset(cfg, "val"))
     assert stats["psnr"] > 10.0, stats
+
+
+def test_dp_distill_error_map_updates(mesh):
+    """VERDICT r2 #6: error-map importance sampling under DP.
+
+    The replicated 128^2 coarse map must (a) drive the per-shard ray
+    draws, and (b) receive a non-uniform EMA update from the sharded
+    per-ray rgb losses at stage 3 — only sampled cells change.
+    """
+    (cfg, rspec, spec_tea, spec_stu, params_tea, occ, opt, state,
+     pose) = _distill_setup(num_rays=256)
+    step = make_dp_distill_step(
+        spec_stu, spec_tea, rspec, opt, cfg, mesh,
+        intrinsics=(40.0, 40.0, 24.0, 24.0), H=48, W=48, stage=3,
+        use_error_map=True,
+    )
+    emap = jnp.ones((128 * 128,), jnp.float32)
+    key = jax.random.PRNGKey(5)
+    for i in range(3):
+        key, kk = jax.random.split(key)
+        state, emap, logs = step(state, params_tea, occ, pose, emap, kk)
+    e = np.asarray(emap)
+    assert np.isfinite(e).all()
+    changed = (e != 1.0).sum()
+    # 256 rays/step x 3 steps: some cells updated, most untouched
+    assert 0 < changed <= 3 * 256, changed
+    # the update is the per-ray loss EMA, so changed cells moved off 1.0
+    assert float(np.abs(e[e != 1.0] - 1.0).max()) > 1e-4
+
+
+def test_dp_teacher_error_map_matches_singlechip_shape(mesh):
+    """DP teacher step with error map: emap-driven draws + EMA update run
+    under the mesh and return a replicated, finite map."""
+    from pvd_tpu.parallel import make_dp_teacher_step
+
+    (cfg, rspec, spec_tea, spec_stu, params_tea, occ, opt, state,
+     pose) = _distill_setup(num_rays=256)
+    step = make_dp_teacher_step(
+        spec_stu, rspec, opt, cfg, mesh,
+        intrinsics=(40.0, 40.0, 24.0, 24.0), H=48, W=48,
+        image_channels=4, use_error_map=True,
+    )
+    img = jnp.asarray(
+        np.random.default_rng(0).random((48 * 48, 4), np.float32))
+    emap = jnp.ones((128 * 128,), jnp.float32)
+    state, emap, metrics = step(state, pose, img, emap,
+                                jax.random.PRNGKey(1))
+    e = np.asarray(emap)
+    assert np.isfinite(e).all() and (e != 1.0).any()
+    assert np.isfinite(float(metrics["psnr"]))

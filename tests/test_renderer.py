@@ -1,5 +1,6 @@
 """Renderer tests: marching vs a sequential DDA oracle, compositing paths."""
 
+import dataclasses
 import math
 
 import numpy as np
@@ -343,3 +344,130 @@ def test_background_model_renders():
     total_bg = sum(float(jnp.sum(jnp.abs(l)))
                    for l in jax.tree_util.tree_leaves(g["bg"]))
     assert np.isfinite(total_bg)
+
+
+def oracle_march_dda_mip(o, d, near, far, bitfield, H, C, bound, max_steps,
+                         dt_gamma, s_max):
+    """Reference DDA transcription WITH the cascade/mip selection
+    (raymarching.cu:44-56, 362-403): mip = max(exponent(|pos|_inf),
+    exponent(dt*H/2)) clipped to C-1; the cell is taken in that cascade's
+    frame.  f32 arithmetic like CUDA."""
+    f32 = np.float32
+    bf = bitfield.reshape(C, H, H, H)
+    dt_min = f32(2 * SQRT3 / max_steps)
+    dt_max = f32(2 * SQRT3 * (2 ** (C - 1)) / H)
+    ts, dts = [], []
+    t = f32(near)
+    steps = 0
+    while t < far and steps < max_steps and len(ts) < s_max:
+        p = np.clip(o + t * d, -bound, bound)
+        dt = f32(np.clip(t * f32(dt_gamma), dt_min, dt_max))
+        mx = np.max(np.abs(p))
+        lvl_pos = np.clip(np.frexp(mx)[1], 0, C - 1)
+        lvl_dt = np.clip(np.frexp(dt * H * 0.5)[1], 0, C - 1)
+        lvl = max(int(lvl_pos), int(lvl_dt))
+        mb = min(2.0 ** lvl, bound)
+        n = np.clip((0.5 * (p / mb + 1) * H).astype(int), 0, H - 1)
+        if bf[lvl, n[0], n[1], n[2]]:
+            ts.append(float(t))
+            dts.append(float(dt))
+        t = f32(t + dt)
+        steps += 1
+    return np.array(ts), np.array(dts)
+
+
+def _c2_setup(seed=13, n_rays=24, occ_frac=0.25):
+    rspec = RenderSpec(bound=2.0, grid_size=32, max_steps=256,
+                       max_samples=64, density_thresh=0.01,
+                       dt_gamma=1 / 256)
+    H, C = rspec.grid_size, rspec.cascades
+    assert C == 2
+    rng = np.random.default_rng(seed)
+    bf = rng.uniform(size=(C * H * H * H,)) < occ_frac
+    o = rng.uniform(-0.2, 0.2, (n_rays, 3)).astype(np.float32)
+    o[:, 2] = -3.5
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-2.0, -2, -2, 2, 2, 2])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb)
+    return rspec, H, C, bf, o, d, nears, fars
+
+
+def test_march_c2_dt_gamma_matches_reference_dda():
+    """VERDICT r2 #4: the DDA oracle holds for C>1 (multi-cascade mip
+    selection) on the direct lattice path."""
+    rspec, H, C, bf, o, d, nears, fars = _c2_setup()
+    samples = march_rays(jnp.asarray(bf), jnp.asarray(o), jnp.asarray(d),
+                         nears, fars, rspec)
+    t_ours = np.asarray(samples.t)
+    mask = np.asarray(samples.mask)
+    checked = 0
+    for i in range(len(o)):
+        t_ref, dt_ref = oracle_march_dda_mip(
+            o[i], d[i], float(nears[i]), float(fars[i]), bf, H, C,
+            rspec.bound, rspec.max_steps, rspec.dt_gamma, rspec.max_samples)
+        k = mask[i].sum()
+        assert k == len(t_ref), (i, k, len(t_ref))
+        if k:
+            np.testing.assert_allclose(t_ours[i, :k], t_ref, rtol=2e-5,
+                                       atol=2e-5)
+            checked += 1
+    assert checked >= 8
+
+
+def test_probe_mc_march_is_conservative_superset():
+    """The multi-cascade probe march (7^3 per-cascade masks) must keep
+    every sample the exact march keeps; unresolved points may add
+    conservative extras, but only a few per ray on a realistic grid."""
+    from pvd_tpu.render.occupancy import build_neighbor_masks_mc
+    from pvd_tpu.render.renderer import _probe_march_occ_mc, _t_lattice
+
+    rspec, H, C, bf, o, d, nears, fars = _c2_setup(occ_frac=0.15)
+    bitfield = jnp.asarray(bf)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    t0 = nears
+    ts, dts = _t_lattice(t0, rspec)
+
+    # exact per-lattice-point occupancy (direct lookup)
+    from pvd_tpu.render.renderer import _occupancy_lookup
+
+    pos = oj[:, None, :] + ts[..., None] * dj[:, None, :]
+    pos = jnp.clip(pos, -rspec.bound, rspec.bound)
+    exact = np.asarray(_occupancy_lookup(bitfield, pos, dts, rspec)
+                       & (ts < fars[:, None]))
+
+    masks = build_neighbor_masks_mc(bitfield, H)
+    probe = np.asarray(_probe_march_occ_mc(masks, oj, dj, ts, dts, fars,
+                                           rspec))
+    # superset: the probe never drops an exact sample
+    assert (exact & ~probe).sum() == 0
+    # conservative extras stay rare
+    extra = (probe & ~exact).sum()
+    assert extra <= 0.02 * exact.size + 8 * len(o), (extra, exact.sum())
+
+
+def test_probe_mc_through_render_rays():
+    """render_rays on a C=2/dt_gamma>0 OccupancyState (which now carries
+    7^3 masks) must produce finite images; empty grid -> pure bg."""
+    from pvd_tpu.render import init_occupancy_state
+    from pvd_tpu.render.occupancy import set_bitfield
+
+    rspec, H, C, bf, o, d, nears, fars = _c2_setup()
+    rspec = dataclasses.replace(rspec, samples_per_ray=8.0)
+    occ = set_bitfield(init_occupancy_state(rspec), jnp.asarray(bf))
+    assert occ.neighbor_masks.shape == (C * H ** 3, 12)
+    spec = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
+                     hash_desired_res=64)
+    params = init_field(jax.random.PRNGKey(0), spec)
+    out = render_rays(params, spec, rspec, occ, jnp.asarray(o),
+                      jnp.asarray(d), training=False, bg_color=1.0,
+                      early_stop=True)
+    img = np.asarray(out["image"])
+    assert np.isfinite(img).all()
+
+    occ0 = set_bitfield(occ, jnp.zeros_like(occ.bitfield))
+    out0 = render_rays(params, spec, rspec, occ0, jnp.asarray(o),
+                       jnp.asarray(d), training=False, bg_color=1.0,
+                       early_stop=True)
+    np.testing.assert_allclose(np.asarray(out0["image"]), 1.0, atol=1e-5)

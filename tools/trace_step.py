@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--spr", type=float, default=8.0)
     ap.add_argument("--cell_levels", type=int, default=9)
     ap.add_argument("--res0", type=int, default=300)
+    ap.add_argument("--bound", type=float, default=1.0)
+    ap.add_argument("--dt_gamma", type=float, default=0.0)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="/tmp/pvd_trace")
@@ -55,7 +57,8 @@ def main():
     N = args.rays
     cfg = PVDConfig(num_rays=N, max_samples=args.smax, grid_size=128,
                     max_steps=1024, resolution0=args.res0,
-                    samples_per_ray=args.spr, autotune_budget=False)
+                    samples_per_ray=args.spr, autotune_budget=False,
+                    bound=args.bound, dt_gamma=args.dt_gamma)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
                          hash_cell_levels=args.cell_levels)
