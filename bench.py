@@ -6,10 +6,11 @@ on the student's samples, then backprops the student).
 
 Measured at the TUNED production config (4096 rays/step -- the reference
 distill default, main_distill_mutual.py:56-61 -- S_max=64, global sample
-budget 8/ray; within 0.03 dB of uncompacted S_max=96 in the distill
-quality A/B, see STATUS.md) on a clustered occupancy grid shaped like a
-converged Synthetic-NeRF scene (a shell-and-blobs object at ~4%
-occupancy), not a uniform-random bitfield.
+budget 6/ray; round-3 quality A/B on the synthetic fixture: teacher
+31.26 dB, distilled students 31.12 (spr=8) vs 31.09 (spr=6) -- the
+tighter budget costs 0.02 dB, see STATUS.md) on a clustered occupancy
+grid shaped like a converged Synthetic-NeRF scene (a shell-and-blobs
+object at ~4% occupancy), not a uniform-random bitfield.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -135,20 +136,20 @@ def bench_config(label, cfg, iters):
     )
 
     log(f"{label}: built, dispatching warmup (compile happens here)")
+    # ONE constant key: the step folds state.step in internally, so no
+    # per-iteration host-side split (an extra tiny device dispatch that
+    # serializes against the step on the tunnel stream)
     key = jax.random.PRNGKey(1)
-    key, kk = jax.random.split(key)
-    state, logs = step_fn(state, params_tea, occ, pose, kk)
+    state, logs = step_fn(state, params_tea, occ, pose, key)
     float(logs["loss"])  # force full sync through the tunnel
     log(f"{label}: compile+first step done")
     # one more warm step so the timed loop starts from steady state
-    key, kk = jax.random.split(key)
-    state, logs = step_fn(state, params_tea, occ, pose, kk)
+    state, logs = step_fn(state, params_tea, occ, pose, key)
     float(logs["loss"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        key, kk = jax.random.split(key)
-        state, logs = step_fn(state, params_tea, occ, pose, kk)
+        state, logs = step_fn(state, params_tea, occ, pose, key)
     float(logs["loss"])
     dt = time.perf_counter() - t0
     rays_per_sec = NUM_RAYS * iters / dt
@@ -194,7 +195,7 @@ def main():
     # Phase 2: tuned production config (the real headline number).
     try:
         cfg = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
-                        resolution0=300, max_samples=64, samples_per_ray=8.0,
+                        resolution0=300, max_samples=64, samples_per_ray=6.0,
                         autotune_budget=False)
         metric, rps = bench_config("tuned(S_max=64)", cfg, iters=30)
         _result.update(metric=metric, value=round(rps, 1),

@@ -711,7 +711,7 @@ class Trainer:
             occ, render = self.state.occ, self._eval_render
 
         meter = PSNRMeter()
-        ssims, lp_a, lp_v = [], [], []
+        ssims, lp_a, lp_v, lp_proxy = [], [], [], []
         frames, depth_frames = [], []
         save_dir = save_dir or os.path.join(self.workspace, "results")
         os.makedirs(save_dir, exist_ok=True)
@@ -727,6 +727,10 @@ class Trainer:
                 if lpips_available():
                     lp_a.append(rgb_lpips(img, gt, "alex"))
                     lp_v.append(rgb_lpips(img, gt, "vgg"))
+                else:
+                    from pvd_tpu.utils.metrics import lpips_proxy
+
+                    lp_proxy.append(lpips_proxy(img, gt))
             u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             d8 = (np.clip(dep, 0, 1) * 255).astype(np.uint8)
             cv2.imwrite(os.path.join(save_dir, f"{self.name}_{i:04d}.png"),
@@ -743,13 +747,18 @@ class Trainer:
                 [np.repeat(f[..., None], 3, axis=-1) for f in depth_frames],
             )
 
-        lpips_na = "unavailable (no lpips weights in this image)"
         self.stats = {
             "psnr": meter.measure(),
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
-            "lpips_alex": float(np.mean(lp_a)) if lp_a else lpips_na,
-            "lpips_vgg": float(np.mean(lp_v)) if lp_v else lpips_na,
         }
+        if lp_a:
+            self.stats["lpips_alex"] = float(np.mean(lp_a))
+            self.stats["lpips_vgg"] = float(np.mean(lp_v))
+        elif lp_proxy:
+            # pretrained alex/vgg weights cannot exist here (no network
+            # egress) — report the fixed-seed random-feature perceptual
+            # proxy instead.  Self-comparable only; NOT reference LPIPS.
+            self.stats["lpips_proxy"] = float(np.mean(lp_proxy))
         self.log(f"[evaluate:{self.name}] {self.stats}")
         tb = self._tb_writer()
         if tb is not None:

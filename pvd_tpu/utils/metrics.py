@@ -117,3 +117,59 @@ def rgb_lpips(pred, gt, net_name: str = "alex") -> Optional[float]:
 
     with torch.no_grad():
         return float(net(to_t(pred), to_t(gt)))
+
+
+# ---- perceptual-distance fallback (NOT reference LPIPS) -------------------
+
+_PROXY_FILTERS = None
+
+
+def _proxy_filters():
+    """Fixed-seed random conv stacks for the perceptual proxy.
+
+    Randomly-initialized conv features correlate with perceptual
+    similarity well enough for RELATIVE comparisons (random networks as
+    perceptual metrics; the exact weights do not matter as long as they
+    are fixed).  3 scales x 24 channels of 5x5 filters, seed 1789.
+    """
+    global _PROXY_FILTERS
+    if _PROXY_FILTERS is None:
+        rng = np.random.default_rng(1789)
+        _PROXY_FILTERS = [
+            (rng.standard_normal((24, 3, 5, 5)) / np.sqrt(75.0)).astype(
+                np.float32)
+            for _ in range(3)
+        ]
+    return _PROXY_FILTERS
+
+
+def lpips_proxy(pred, gt) -> float:
+    """Perceptual distance PROXY — clearly NOT the reference's LPIPS.
+
+    Used when pretrained alex/vgg weights cannot exist in the environment
+    (no network egress): multi-scale random-conv feature maps, channel-
+    normalized like LPIPS, mean squared feature difference summed over 3
+    dyadic scales.  Comparable ONLY against itself (lower = closer); do
+    not compare values against published LPIPS numbers.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    def prep(x):
+        t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
+        return t * 2.0 - 1.0
+
+    a, b = prep(pred), prep(gt)
+    total = 0.0
+    with torch.no_grad():
+        for w in _proxy_filters():
+            wt = torch.from_numpy(w)
+            fa = F.conv2d(a, wt, padding=2)
+            fb = F.conv2d(b, wt, padding=2)
+            # LPIPS-style unit-normalize along channels
+            fa = fa / (fa.norm(dim=1, keepdim=True) + 1e-10)
+            fb = fb / (fb.norm(dim=1, keepdim=True) + 1e-10)
+            total += float(((fa - fb) ** 2).sum(dim=1).mean())
+            a = F.avg_pool2d(a, 2)
+            b = F.avg_pool2d(b, 2)
+    return total

@@ -45,8 +45,8 @@ def main():
     ap.add_argument("--smax", type=int, default=32)
     ap.add_argument("--cell_levels", type=int, default=9)
     ap.add_argument("--res0", type=int, default=300)
-    ap.add_argument("--spr", type=float, default=8.0,
-                    help="samples_per_ray budget (tuned prod config: 8)")
+    ap.add_argument("--spr", type=float, default=6.0,
+                    help="samples_per_ray budget (tuned prod config: 6)")
     args = ap.parse_args()
 
     import jax.numpy as jnp

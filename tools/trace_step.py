@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=4096)
     ap.add_argument("--smax", type=int, default=64)
-    ap.add_argument("--spr", type=float, default=8.0)
+    ap.add_argument("--spr", type=float, default=6.0)
     ap.add_argument("--cell_levels", type=int, default=9)
     ap.add_argument("--res0", type=int, default=300)
     ap.add_argument("--bound", type=float, default=1.0)
