@@ -138,6 +138,9 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--no_autotune_budget", dest="autotune_budget",
                    action="store_false",
                    help="freeze S_max / sample budget (no bucket adaptation)")
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="fuse K distill steps into one lax.scan dispatch "
+                        "(TPU host-overhead amortization; 0 = off)")
     return p
 
 

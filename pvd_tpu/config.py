@@ -229,6 +229,12 @@ class PVDConfig:
     # data parallelism over the ray axis: 1 = single chip, 0 = all local
     # devices, >1 = that many devices (parallel/dp.py shard_map steps)
     n_devices: int = 1
+    # TPU extension: fuse K distillation steps into ONE lax.scan dispatch
+    # (amortizes the ~1.2 ms/step host+tunnel overhead measured on
+    # v5e-via-axon).  Only active for single-chip distillation without
+    # --error_map; steps that straddle a stage boundary, occupancy-update
+    # tick, or VM upsample fall back to single dispatches.  0/1 = off.
+    scan_steps: int = 0
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50

@@ -313,6 +313,65 @@ class Trainer:
                 )
         return self._steps[key]
 
+    def _scan_chunk_len(self, step: int, stage: int, total: int,
+                        left_in_epoch: int) -> int:
+        """Length of the scan-fused distill chunk starting at `step`, or 1.
+
+        A chunk of cfg.scan_steps steps is only taken when NOTHING host-side
+        must run inside it: same stage throughout, no occupancy-update /
+        autotune tick (multiples of update_extra_interval), no scheduled VM
+        upsample, and it fits in both the epoch and the run.  Chunks start
+        only at multiples of K so they stay aligned with the tick cadence.
+        """
+        K = self.cfg.scan_steps
+        if (K <= 1 or self.mode != "distill" or self.mesh is not None
+                or self.error_map is not None):
+            return 1
+        if step % K != 0 or left_in_epoch < K or step + K > total:
+            return 1
+        if self._stage_of(step + K - 1) != stage:
+            return 1
+        iv = self.cfg.update_extra_interval
+        # next tick strictly inside (step, step+K) -> host work mid-chunk
+        next_tick = ((step // iv) + 1) * iv
+        if next_tick < step + K:
+            return 1
+        if self.upsample_steps and any(
+                step < s <= step + K for s in self.upsample_steps):
+            return 1
+        return K
+
+    def _get_scan_step_fn(self, stage: int, H: int, W: int, C: int, intr,
+                          K: int):
+        key = ("scan", stage, H, W, C, K)
+        if key not in self._steps:
+            self._steps[key] = make_distill_step(
+                self.spec_stu, self.spec_tea, self.rspec, self.opt,
+                self.cfg, intr, H, W, stage=stage,
+                ema_decay=self.cfg.ema_decay, scan_steps=K,
+            )
+        return self._steps[key]
+
+    def _log_scan_chunk(self, logs_k, step: int, K: int, total: int,
+                        stage: int, t_start: float):
+        """Emit the standard per-100-step log line for any logging boundary
+        the fused chunk crossed, from the stacked [K] metric rows."""
+        rows = [j for j in range(K) if (step + j) % 100 == 0]
+        if not rows:
+            return
+        host = {k: np.asarray(v) for k, v in logs_k.items()}
+        tb = self._tb_writer()
+        for j in rows:
+            m = {k: float(v[j]) for k, v in host.items()}
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+            self.log(
+                f"[{self.name}] step {step + j}/{total} stage{stage} "
+                f"{msg} ({(time.time() - t_start):.1f}s)"
+            )
+            if tb is not None:
+                for k, v in m.items():
+                    tb.add_scalar(f"train/{k}", v, step + j)
+
     def _maybe_update_occ(self, step: int, key):
         if step % self.cfg.update_extra_interval == 0:
             full = int(self.state.occ.iter_density) < 16
@@ -574,7 +633,8 @@ class Trainer:
                 epoch_len = len(poses)
 
             steps_this_epoch = min(epoch_len, total - step)
-            for _ in range(steps_this_epoch):
+            done_in_epoch = 0
+            while done_in_epoch < steps_this_epoch:
                 key, k_occ, k_step = jax.random.split(key, 3)
                 self._maybe_autotune(step, getattr(self, "_last_metrics",
                                                    None))
@@ -627,14 +687,33 @@ class Trainer:
                     if self.error_map is not None:
                         self.error_map = self.error_map.at[idx].set(emap)
                 else:
-                    step_fn = self._get_step_fn(stage, H, W, C, intr)
                     if self.error_map is not None:
+                        step_fn = self._get_step_fn(stage, H, W, C, intr)
                         self.state, emap, metrics = step_fn(
                             self.state, self.params_tea, self.occ_tea,
                             poses[idx], self.error_map[idx], k_step,
                         )
                         self.error_map = self.error_map.at[idx].set(emap)
                     else:
+                        K = self._scan_chunk_len(
+                            step, stage, total,
+                            steps_this_epoch - done_in_epoch)
+                        if K > 1:
+                            scan_fn = self._get_scan_step_fn(
+                                stage, H, W, C, intr, K)
+                            idx_k = rng_np.integers(0, len(poses), size=K)
+                            self.state, logs_k = scan_fn(
+                                self.state, self.params_tea, self.occ_tea,
+                                poses[jnp.asarray(idx_k)], k_step,
+                            )
+                            metrics = {k: v[-1] for k, v in logs_k.items()}
+                            self._log_scan_chunk(logs_k, step, K, total,
+                                                 stage, t_start)
+                            self._last_metrics = metrics
+                            step += K
+                            done_in_epoch += K
+                            continue
+                        step_fn = self._get_step_fn(stage, H, W, C, intr)
                         self.state, metrics = step_fn(
                             self.state, self.params_tea, self.occ_tea,
                             poses[idx], k_step,
@@ -655,6 +734,7 @@ class Trainer:
                         for k, v in m.items():
                             tb.add_scalar(f"train/{k}", v, step)
                 step += 1
+                done_in_epoch += 1
 
             # epoch boundary: interval checkpoints near the end of training
             # (reference saves at the last 2 epochs, utils.py:527-534) and

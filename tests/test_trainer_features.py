@@ -199,3 +199,33 @@ def test_vm_upsample_wired_in_distill(scene, tmp_path_factory):
     vox = float(np.cbrt(np.prod(size) / 24.0 ** 3))
     expect = tuple(int(v) for v in (size / vox).astype(np.int64))
     assert tuple(tr.vm_resolution) == expect
+
+
+def test_scan_steps_fused_distill(scene, tmp_path_factory):
+    """cfg.scan_steps fuses K distill steps into one lax.scan dispatch.
+
+    The fused run must execute exactly `iters` optimizer steps, produce
+    finite improving losses, and fall back to single dispatches around
+    stage boundaries (stage1_iters=6 is NOT a multiple of K=4, so the
+    chunker must single-step across it)."""
+    ws_t = str(tmp_path_factory.mktemp("ws_tea_scan"))
+    cfg_t = _cfg(scene, ws_t, model_type="hash", iters=30)
+    tea = Trainer(cfg_t, mode="teacher")
+    tea.train(NeRFDataset(cfg_t, "train"))
+    tea_path = ckpt.latest_checkpoint(
+        os.path.join(ws_t, "checkpoints"), "hash")
+
+    ws = str(tmp_path_factory.mktemp("ws_dis_scan"))
+    cfg = _cfg(scene, ws, model_type="vm", teacher_type="hash", iters=20,
+               stage1_iters=6, stage2_iters=10, resolution0=24,
+               scan_steps=4, num_rays=128)
+    tr = Trainer(cfg, mode="distill")
+    tr.load_teacher(tea_path)
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 20
+    # the scan step-fn cache was actually used for stage 3 (8 of the 20
+    # steps are scan-eligible: 12..15 and 16..19)
+    assert any(k[0] == "scan" for k in tr._steps), list(tr._steps)
+    assert np.isfinite(float(tr._last_metrics["loss"]))
+    tr.close()
+    tea.close()
