@@ -75,7 +75,12 @@ def main(argv=None):
                 trainer.try_resume()
         split = "trainval" if args.test_type_trainval else "test"
         ds = NeRFDataset(cfg, split, downscale=cfg.downscale)
-        trainer.evaluate(ds, use_teacher=args.test_teacher, write_video=True)
+        # reference refreshes the student grid once before test rendering
+        # ONLY under update_stu_extra (distill_mutual/utils.py:1227-1232);
+        # otherwise the checkpoint's (teacher-inherited) grid is kept
+        trainer.evaluate(ds, use_teacher=args.test_teacher, write_video=True,
+                         refresh_occ=cfg.update_stu_extra
+                         and not args.test_teacher)
         return trainer.stats
 
     assert cfg.ckpt_teacher, "--ckpt_teacher is required for distillation"

@@ -27,7 +27,10 @@ def main(argv=None):
         if not trainer.try_resume() and cfg.ckpt_student:
             trainer.load_student(cfg.ckpt_student)
         test_ds = NeRFDataset(cfg, "test", downscale=cfg.downscale)
-        trainer.evaluate(test_ds, write_video=True)
+        # pre-eval grid refresh gated exactly like the reference
+        # (just_train_tea/utils.py:1204-1211: only under update_stu_extra)
+        trainer.evaluate(test_ds, write_video=True,
+                         refresh_occ=cfg.update_stu_extra)
         return trainer.stats
 
     write_args_txt(cfg, cfg.workspace)

@@ -776,11 +776,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, ds, use_teacher: bool = False, save_dir: Optional[str] = None,
-                 write_video: bool = False):
+                 write_video: bool = False, refresh_occ: bool = False):
         """Full-image eval: PSNR/SSIM(/LPIPS), PNG + depth artifacts
-        (distill_mutual/utils.py:1193-1368)."""
+        (distill_mutual/utils.py:1193-1368).
+
+        refresh_occ: run ONE full occupancy update from the current params
+        before rendering — the reference refreshes the grid once pre-eval
+        (distill_mutual/utils.py:1227-1232); needed when evaluating a
+        checkpoint whose grid was never refreshed against its final params
+        (--test with update_stu_extra unset)."""
         import cv2
 
+        if refresh_occ and not use_teacher:
+            self.state = self.state.replace(
+                occ=self._occ_update(self.state.occ, self.state.params,
+                                     jax.random.PRNGKey(0), True)
+            )
         if use_teacher:
             params, occ, render = self.params_tea, self.occ_tea, self._eval_render_tea
         else:
