@@ -63,3 +63,29 @@ def _close_leaked_trainers():
             except Exception:
                 pass
     gc.collect()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    Across the full suite the in-memory jit cache accumulates hundreds of
+    XLA:CPU executables (every Trainer/step/renderer variant); by
+    test_parallel (~95 tests in) the process hard-aborts inside a
+    shard_map step (round-3, after the 16-pair matrix landed).  Clearing
+    per module bounds live-executable memory; recompiles hit the
+    persistent on-disk cache so the time cost is small.  RSS is logged to
+    /tmp/pvd_suite_rss.log for leak triage.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()
+    try:
+        with open("/proc/self/statm") as f:
+            rss_pages = int(f.read().split()[1])
+        with open("/tmp/pvd_suite_rss.log", "a") as f:
+            f.write(f"{rss_pages * 4 // 1024} MiB\n")
+    except OSError:
+        pass
