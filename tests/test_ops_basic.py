@@ -150,3 +150,25 @@ class TestFreq:
             np.testing.assert_allclose(
                 out[0, base + 3 : base + 6], np.cos(xa * 2.0**k), rtol=1e-6
             )
+
+
+class TestPerceptualProxy:
+    """lpips_proxy: the random-conv perceptual fallback (NOT reference
+    LPIPS — reported only when pretrained alex/vgg weights are absent)."""
+
+    def test_zero_for_identical_and_orders_degradations(self):
+        from pvd_tpu.utils.metrics import lpips_proxy
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        assert lpips_proxy(img, img) == 0.0
+        # mild blur should be perceptually closer than heavy noise
+        blur = img.copy()
+        blur[1:] = 0.5 * (blur[1:] + blur[:-1])
+        noisy = np.clip(
+            img + rng.normal(0, 0.5, img.shape).astype(np.float32), 0, 1)
+        d_blur = lpips_proxy(blur, img)
+        d_noise = lpips_proxy(noisy, img)
+        assert 0.0 < d_blur < d_noise
+        # deterministic across calls (fixed-seed filters)
+        assert lpips_proxy(noisy, img) == d_noise
