@@ -84,7 +84,7 @@ def object_like_bitfield(H: int) -> np.ndarray:
     return g.reshape(-1)
 
 
-def bench_config(label, cfg, iters):
+def bench_config(label, cfg, iters, scan_steps=0):
     """Build + run one distill-step config; return (metric_str, rays/sec)."""
     import jax
     import jax.numpy as jnp
@@ -133,7 +133,10 @@ def bench_config(label, cfg, iters):
     step_fn = make_distill_step(
         spec_stu, spec_tea, rspec, opt, cfg,
         intrinsics=(1111.0, 1111.0, W / 2, H / 2), H=H, W=W, stage=3,
+        scan_steps=scan_steps,
     )
+    if scan_steps:
+        pose = jnp.tile(pose[None], (scan_steps, 1, 1))
 
     log(f"{label}: built, dispatching warmup (compile happens here)")
     # ONE constant key: the step folds state.step in internally, so no
@@ -141,25 +144,26 @@ def bench_config(label, cfg, iters):
     # serializes against the step on the tunnel stream)
     key = jax.random.PRNGKey(1)
     state, logs = step_fn(state, params_tea, occ, pose, key)
-    float(logs["loss"])  # force full sync through the tunnel
+    float(jnp.sum(logs["loss"]))  # force full sync through the tunnel
     log(f"{label}: compile+first step done")
     # one more warm step so the timed loop starts from steady state
     state, logs = step_fn(state, params_tea, occ, pose, key)
-    float(logs["loss"])
+    float(jnp.sum(logs["loss"]))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, logs = step_fn(state, params_tea, occ, pose, key)
-    float(logs["loss"])
+    float(jnp.sum(logs["loss"]))
     dt = time.perf_counter() - t0
-    rays_per_sec = NUM_RAYS * iters / dt
+    rays_per_sec = NUM_RAYS * max(scan_steps, 1) * iters / dt
     log(f"{label}: {rays_per_sec:,.0f} rays/s ({iters} iters in {dt:.2f}s)")
 
     metric = (
         "hash->vm distill train-step throughput "
         f"({jax.default_backend()}, {NUM_RAYS} rays/step, "
         f"S_max={rspec.max_samples}, "
-        f"budget={rspec.sample_budget(NUM_RAYS)})"
+        f"budget={rspec.sample_budget(NUM_RAYS)}"
+        + (f", scan_steps={scan_steps}" if scan_steps else "") + ")"
     )
     return metric, rays_per_sec
 
@@ -203,6 +207,21 @@ def main():
         _result.pop("degraded", None)
     except Exception as e:
         log(f"tuned config FAILED: {type(e).__name__}: {e}")
+
+    # Phase 3: scan-fused tuned config (Trainer --scan_steps path).  The
+    # K-step lax.scan amortizes the per-dispatch host+tunnel overhead; its
+    # one-time compile is long through the axon tunnel, so this phase only
+    # improves the result when the persistent cache is warm — the watchdog
+    # emits the phase-2 number otherwise.
+    try:
+        metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=6,
+                                   scan_steps=8)
+        if rps > _result["value"]:
+            _result.update(metric=metric, value=round(rps, 1),
+                           vs_baseline=round(rps / 2.0e6, 4))
+            _result.pop("degraded", None)
+    except Exception as e:
+        log(f"scan config FAILED: {type(e).__name__}: {e}")
 
     timer.cancel()
     emit_and_exit()
