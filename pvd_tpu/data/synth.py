@@ -23,11 +23,18 @@ SPHERES = [
 ]
 
 
-def _render_analytic(pose: np.ndarray, H: int, W: int, focal: float):
+def _render_analytic(pose: np.ndarray, H: int, W: int, focal: float,
+                     textured: bool = False):
     """Ray-trace opaque lambertian-ish spheres; returns [H, W, 4] in [0,1].
 
     Uses the blender camera convention (x right, y up, camera looks along
     -z), matching what transforms.json poses describe.
+
+    textured=True adds high-frequency procedural surface detail (multi-
+    octave sine texture + view-dependent specular lobe) so the fixture
+    exercises the fine hash levels and SH view-dependence like a real
+    Synthetic-NeRF object; flat shading stays the default so recorded
+    PSNR baselines remain comparable.
     """
     i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
     dirs = np.stack(
@@ -40,6 +47,7 @@ def _render_analytic(pose: np.ndarray, H: int, W: int, focal: float):
     best_t = np.full((H, W), np.inf)
     rgb = np.zeros((H, W, 3), np.float32)
     alpha = np.zeros((H, W), np.float32)
+    light = np.array([0.577, 0.577, 0.577])
     for center, radius, color in SPHERES:
         oc = ro - center
         b = np.sum(rd * oc, axis=-1)
@@ -52,7 +60,21 @@ def _render_analytic(pose: np.ndarray, H: int, W: int, focal: float):
         p = ro + rd * t[..., None]
         n = (p - center) / radius
         shade = 0.55 + 0.45 * np.clip(-np.sum(n * rd, axis=-1), 0, 1)
-        rgb[hit] = (color[None, :] * shade[hit, None]).astype(np.float32)
+        col = color[None, :] * shade[hit, None]
+        if textured:
+            # multi-octave surface detail in object space (deterministic)
+            ph = p[hit]
+            tex = np.ones(ph.shape[0], np.float32)
+            for freq, amp in ((11.0, 0.25), (29.0, 0.15), (71.0, 0.08)):
+                tex *= 1.0 + amp * np.sin(freq * ph[:, 0]) * np.sin(
+                    freq * ph[:, 1] + 1.3) * np.sin(freq * ph[:, 2] + 2.1)
+            col = col * np.clip(tex, 0.3, 1.7)[:, None]
+            # Blinn-Phong specular: genuinely view-dependent color
+            hvec = light[None] - rd[hit]
+            hvec /= np.linalg.norm(hvec, axis=-1, keepdims=True) + 1e-9
+            spec = np.clip(np.sum(n[hit] * hvec, axis=-1), 0, 1) ** 48
+            col = col + 0.6 * spec[:, None]
+        rgb[hit] = np.clip(col, 0.0, 1.0).astype(np.float32)
         alpha[hit] = 1.0
         best_t[hit] = t[hit]
     return np.concatenate([rgb, alpha[..., None]], axis=-1)
@@ -66,6 +88,7 @@ def make_synthetic_scene(
     H: int = 64,
     W: int = 64,
     seed: int = 0,
+    textured: bool = False,
 ):
     """Write a blender-format scene to `root`. Returns root."""
     import cv2
@@ -83,7 +106,7 @@ def make_synthetic_scene(
             theta = rng.uniform(-180, 180)
             phi = rng.uniform(-60, -10)
             pose = pose_spherical(theta, phi, 4.0)
-            img = _render_analytic(pose, H, W, focal)
+            img = _render_analytic(pose, H, W, focal, textured=textured)
             fname = f"./{split}/r_{k}"
             frames.append(
                 {"file_path": fname, "transform_matrix": pose.tolist()}
