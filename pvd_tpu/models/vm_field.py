@@ -184,8 +184,10 @@ def _plane_sample4_bwd(W, res, g):
     HW, R = v.shape
     N = i.shape[0]
     g = g.astype(v.dtype)
-    u = g[None, :, :] * w4[..., None].astype(v.dtype)  # [4, N, R]
-    u_wide = jnp.moveaxis(u, 0, 1).reshape(N, 4 * R)
+    # build updates directly in [N, 4, R] so the reshape to [N, 4R] is a
+    # pure major-dim split (moveaxis from [4, N, R] forced a relayout copy)
+    u = w4.T[:, :, None].astype(v.dtype) * g[:, None, :]  # [N, 4, R]
+    u_wide = u.reshape(N, 4 * R)
     scratch = jnp.zeros((HW, 4 * R), v.dtype).at[i].add(u_wide, mode="drop")
     g_v = scratch[:, :R]
     for k, off in ((1, 1), (2, W), (3, W + 1)):
