@@ -84,7 +84,7 @@ def object_like_bitfield(H: int) -> np.ndarray:
     return g.reshape(-1)
 
 
-def bench_config(label, cfg, iters, scan_steps=0):
+def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     """Build + run one distill-step config; return (metric_str, rays/sec)."""
     import jax
     import jax.numpy as jnp
@@ -102,7 +102,7 @@ def bench_config(label, cfg, iters, scan_steps=0):
     H, W = 800, 800
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
-                         hash_cell_levels=9)
+                         hash_cell_levels=9, hash_bake_dense=bake)
     spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300),
                          compute_dtype="bfloat16")
 
@@ -208,16 +208,32 @@ def main():
     except Exception as e:
         log(f"tuned config FAILED: {type(e).__name__}: {e}")
 
-    # Phase 3: scan-fused tuned config (Trainer --scan_steps path).  The
+    # Phase 3: baked frozen-teacher dense levels (--hash_bake_dense): the 5
+    # dense teacher levels cost ONE gathered row instead of five (the v5e
+    # gather engine is row-rate-bound at 16-512B rows).  Teacher-side
+    # approximation, quality-A/B'd (STATUS.md); kept only if faster.
+    bake = False
+    try:
+        metric, rps = bench_config("tuned+bake", cfg, iters=30, bake=True)
+        if rps > _result["value"]:
+            bake = True
+            _result.update(metric=metric + " +bake", value=round(rps, 1),
+                           vs_baseline=round(rps / 2.0e6, 4))
+            _result.pop("degraded", None)
+    except Exception as e:
+        log(f"bake config FAILED: {type(e).__name__}: {e}")
+
+    # Phase 4: scan-fused tuned config (Trainer --scan_steps path).  The
     # K-step lax.scan amortizes the per-dispatch host+tunnel overhead; its
     # one-time compile is long through the axon tunnel, so this phase only
     # improves the result when the persistent cache is warm — the watchdog
-    # emits the phase-2 number otherwise.
+    # emits the best number so far otherwise.
     try:
         metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=6,
-                                   scan_steps=8)
+                                   scan_steps=8, bake=bake)
         if rps > _result["value"]:
-            _result.update(metric=metric, value=round(rps, 1),
+            _result.update(metric=metric + (" +bake" if bake else ""),
+                           value=round(rps, 1),
                            vs_baseline=round(rps / 2.0e6, 4))
             _result.pop("degraded", None)
     except Exception as e:

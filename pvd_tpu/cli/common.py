@@ -126,6 +126,10 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--hash_cell_levels", type=int, default=0,
                    help="finest hashed levels in cell-packed fast mode "
                         "(1 gather/pt/level; 0 = reference parity)")
+    p.add_argument("--hash_bake_dense", action="store_true",
+                   help="bake the FROZEN hash teacher's dense levels onto "
+                        "the finest dense lattice (1 gathered row for all "
+                        "of them; coarser levels resampled — A/B'd)")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "fp32"])
     p.add_argument("--eval_interval", type=int, default=50)

@@ -48,6 +48,13 @@ class ModelSpec:
     # (1 gather/point/level, same param count; features C0-discontinuous
     # across subpixel-scale cells). 0 = exact reference parity.
     hash_cell_levels: int = 0
+    # TPU fast mode for FROZEN models only (the distill teacher): bake all
+    # dense levels onto the finest dense lattice so they cost ONE gathered
+    # row per point instead of one per level (ops/hashgrid.py
+    # build_baked_dense).  Exact for the finest dense level; coarser dense
+    # levels are resampled onto the finer lattice.  Ignored unless the
+    # params carry an attach_packed-built '_baked' table.
+    hash_bake_dense: bool = False
     # gather-path dtype for hash/cell tables (None = float32 rows): bf16
     # rows are 32B and run the v5e gather engine ~1.4x faster; interpolation
     # arithmetic stays f32 either way
@@ -236,6 +243,7 @@ class PVDConfig:
     # tick, or VM upsample fall back to single dispatches.  0/1 = off.
     scan_steps: int = 0
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
+    hash_bake_dense: bool = False  # bake frozen-teacher dense levels into 1 row
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50
     # TensorBoard event writing (tensorboardX spawns event-pump threads per
@@ -257,6 +265,7 @@ class PVDConfig:
             model_type=model_type or self.model_type,
             compute_dtype="bfloat16" if self.precision == "bf16" else "float32",
             hash_cell_levels=self.hash_cell_levels,
+            hash_bake_dense=self.hash_bake_dense,
             # measured on v5e: bf16 table rows gather 2x SLOWER than f32
             # (the engine punishes sub-word rows), so this stays None
             hash_gather_dtype=None,

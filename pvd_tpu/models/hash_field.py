@@ -62,12 +62,22 @@ def attach_packed(params, spec: ModelSpec):
     The distillation Trainer calls this once on the loaded teacher params;
     _encode then skips the in-graph table rebuild every step.  The extra
     '_packed' entry is a plain array leaf (jit/pytree friendly) and must not
-    be checkpointed (engine/checkpoint strips it).
+    be checkpointed (engine/checkpoint strips any '_'-prefixed key).
+
+    With spec.hash_bake_dense, ALL dense levels are additionally baked onto
+    the finest dense level's lattice ('_baked': ONE gathered row per point
+    for every dense level together, ops/hashgrid.build_baked_dense) —
+    teacher-side approximation for the coarser dense levels, so it is
+    opt-in and quality-A/B'd rather than default.
     """
-    from pvd_tpu.ops.hashgrid import build_packed_dense
+    from pvd_tpu.ops.hashgrid import build_baked_dense, build_packed_dense
 
     gs = grid_spec(spec)
     dtype = jnp.dtype(gs.gather_dtype) if gs.gather_dtype else None
+    if spec.hash_bake_dense:
+        baked, _, _ = build_baked_dense(params["encoder"], gs, dtype=dtype)
+        if baked is not None:
+            return {**params, "_baked": baked}
     packed, _ = build_packed_dense(params["encoder"], gs, dtype=dtype)
     if packed is None:
         return params
@@ -75,17 +85,21 @@ def attach_packed(params, spec: ModelSpec):
 
 
 def _encode(params, spec: ModelSpec, x):
-    from pvd_tpu.ops.hashgrid import packed_level_offsets
+    from pvd_tpu.ops.hashgrid import baked_dense_plan, packed_level_offsets
 
     x01 = (x + spec.bound) / (2.0 * spec.bound)
     gs = grid_spec(spec)
-    prebuilt = None
-    if "_packed" in params:
+    prebuilt = baked = None
+    if "_baked" in params:
+        fine, dense = baked_dense_plan(gs)
+        baked = (params["_baked"], fine, dense)
+    elif "_packed" in params:
         prebuilt = (params["_packed"], packed_level_offsets(gs))
     return hash_encode(
         params["encoder"], x01, gs,
         cell_table=params.get("encoder_cell"),
         prebuilt_packed=prebuilt,
+        prebuilt_baked=baked,
     )
 
 

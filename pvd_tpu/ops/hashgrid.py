@@ -448,8 +448,90 @@ def build_packed_dense(table, spec: HashGridSpec, dtype=None):
     return jnp.concatenate(parts, axis=0), packed_offsets
 
 
+def baked_dense_plan(spec: HashGridSpec):
+    """Static (fine_level, dense_levels) plan for build_baked_dense."""
+    dense_levels = tuple(
+        l for l in range(spec.num_levels)
+        if not spec.is_cell_level(l) and _is_dense(spec, l)
+        and spec.input_dim == 3
+    )
+    return (dense_levels[-1] if dense_levels else -1), dense_levels
+
+
+def build_baked_dense(table, spec: HashGridSpec, dtype=None):
+    """Bake ALL dense levels onto the FINEST dense level's lattice.
+
+    For a FROZEN table (the distillation teacher) the per-level dense
+    gathers can be merged into ONE: each vertex of the finest dense level
+    stores every dense level's feature evaluated at that vertex, and the
+    whole lattice is neighborhood-packed (pack_rows_3d), so the encode
+    fetches one [8 * Ld * C]-wide row per point.  The TPU gather engine is
+    row-rate-bound at these widths (~210M rows/s for 16B-256B rows, faster
+    at 512B — measured v5e), so Ld levels cost the price of one.
+
+    Exactness: the finest dense level is reproduced bit-identically (its
+    own vertices are copied).  Coarser levels are resampled onto the finer
+    lattice: trilinear interpolation restricted to an axis-aligned box is
+    still trilinear in the box's local coordinates, so the baked value is
+    EXACT for every fine cell that does not straddle a coarse cell
+    boundary, and a C0 smoothing of the coarse field across boundaries
+    inside straddling cells (the same discontinuity class cell mode
+    accepts).  Teacher-side approximation only — quality must be A/B'd.
+
+    Returns (baked [side_f^3, 8*Ld*C], fine_level, dense_levels) or
+    (None, -1, ()) when no level is dense.
+    """
+    from pvd_tpu.ops.packing import pack_rows_3d
+
+    C = spec.level_dim
+    offsets = spec.offsets
+    fine, dense_levels = baked_dense_plan(spec)
+    if not dense_levels:
+        return None, -1, ()
+    res_f, _, _, _, _ = _level_corner_plan(spec, fine)
+    side_f = res_f if spec.align_corners else res_f + 1
+    o = 0.0 if spec.align_corners else 0.5
+    scale_f = spec.level_scale(fine)
+    v = np.arange(side_f, dtype=np.float64)
+    x01_axis = (v - o) / scale_f  # virtual position of each fine vertex
+
+    feats = []
+    for level in dense_levels:
+        off = int(offsets[level])
+        res_l, _, _, _, _ = _level_corner_plan(spec, level)
+        side_l = res_l if spec.align_corners else res_l + 1
+        if level == fine:
+            feats.append(table[off: off + side_f**3])
+            continue
+        pos = x01_axis * spec.level_scale(level) + o
+        b = np.clip(np.floor(pos).astype(np.int64), 0, side_l - 2)
+        f = jnp.asarray(pos - b, jnp.float32)  # may extrapolate at edges
+        bj = jnp.asarray(b, jnp.int32)
+        sub = table[off: off + side_l**3]
+        acc = 0.0
+        for k in range(8):
+            dx, dy, dz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+            idx = (
+                (bj + dx)[None, None, :]
+                + (bj + dy)[None, :, None] * jnp.int32(side_l)
+                + (bj + dz)[:, None, None] * jnp.int32(side_l * side_l)
+            ).reshape(-1)
+            w = (
+                (f if dx else 1.0 - f)[None, None, :]
+                * (f if dy else 1.0 - f)[None, :, None]
+                * (f if dz else 1.0 - f)[:, None, None]
+            ).reshape(-1, 1)
+            acc = acc + jnp.take(sub, idx, axis=0) * w
+        feats.append(acc.astype(table.dtype))
+    vert = jnp.concatenate(feats, axis=-1)  # [side_f^3, Ld*C]
+    baked = pack_rows_3d(vert, side_f, C * len(dense_levels))
+    if dtype:
+        baked = baked.astype(dtype)
+    return baked, fine, dense_levels
+
+
 def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
-                cell_table=None, prebuilt_packed=None):
+                cell_table=None, prebuilt_packed=None, prebuilt_baked=None):
     """Encode points through all levels.
 
     Args:
@@ -499,8 +581,13 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
     hashed_rows, hashed_w, hashed_levels = [], [], []
     dense_base, dense_w, dense_levels = [], [], []
     cell_rows, cell_w, cell_levels = [], [], []
+    baked_fine = prebuilt_baked[1] if prebuilt_baked is not None else -1
+    baked_skip = set(prebuilt_baked[2]) - {baked_fine} \
+        if prebuilt_baked is not None else set()
 
     for level in range(spec.num_levels):
+        if level in baked_skip:
+            continue  # fetched via the baked fine-level row
         scale = spec.level_scale(level)
         pos = x01 * scale + (0.0 if spec.align_corners else 0.5)
         base = jnp.floor(pos)
@@ -544,6 +631,19 @@ def hash_encode(table, x01, spec: HashGridSpec, packed_dense: bool = True,
             hashed_levels.append(level)
 
     gd = jnp.dtype(spec.gather_dtype) if spec.gather_dtype else None
+
+    if prebuilt_baked is not None and dense_levels:
+        # one [8 * Ld * C]-wide row per point from the baked fine lattice
+        baked, fine, all_dense = prebuilt_baked
+        assert dense_levels == [fine], "baked mode expects only the fine level"
+        Ld = len(all_dense)
+        vals = jnp.take(baked, dense_base[0], axis=0, mode="clip")  # [N, 8*Ld*C]
+        wrep = dense_w[0] @ _repeat_mat(8, Ld * C, jnp.float32)
+        out = (vals.astype(jnp.float32) * wrep) @ _sum_mat(8, Ld * C,
+                                                           jnp.float32)
+        for j, level in enumerate(all_dense):
+            level_out[level] = out[:, j * C: (j + 1) * C]
+        dense_levels = []
 
     if dense_levels:
         if prebuilt_packed is not None:

@@ -24,3 +24,41 @@ def linear_to_srgb(x):
     import jax.numpy as jnp
 
     return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def setup_jax_cache_and_platform():
+    """Tool-side jax setup: honor PVD_FORCE_CPU and pick a safe persistent
+    compile-cache directory.
+
+    The environment's site hook pins jax_platforms='axon,cpu' via config
+    (the JAX_PLATFORMS env var is ignored), so PVD_FORCE_CPU=1 is the only
+    reliable CPU switch for tools.  The cache dir must be split by
+    platform: XLA:CPU AOT executables are keyed by the COMPILING host's
+    CPU flags and SIGILL when loaded on a different host (/tmp can survive
+    machine changes), so CPU runs use a cpu-flags-keyed dir while TPU runs
+    share /tmp/jax_bench_cache (executables are for the device, not the
+    host).
+    """
+    import hashlib
+
+    import jax
+
+    force_cpu = bool(os.environ.get("PVD_FORCE_CPU"))
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        key = "generic"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        key = hashlib.sha1(line.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        cache = f"/tmp/jax_test_cache_{key}"
+    else:
+        cache = "/tmp/jax_bench_cache"
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return cache

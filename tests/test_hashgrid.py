@@ -138,3 +138,67 @@ def test_gradients_flow_to_table():
     assert g.shape == table.shape
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_baked_dense_matches_exact_on_fine_level():
+    """build_baked_dense: the finest dense level is reproduced exactly,
+    non-dense levels are untouched, oob rows stay zero, and coarser dense
+    levels are a trilinear resample (exact at fine-lattice vertices)."""
+    from pvd_tpu.ops.hashgrid import baked_dense_plan, build_baked_dense
+
+    spec = HashGridSpec(num_levels=6, base_resolution=4,
+                        desired_resolution=64, log2_hashmap_size=10)
+    fine, dense = baked_dense_plan(spec)
+    assert len(dense) >= 2, "config must produce >=2 dense levels"
+    table = init_hash_table(jax.random.PRNGKey(0), spec) * 1e4
+    baked, f2, d2 = build_baked_dense(table, spec)
+    assert (f2, d2) == (fine, dense)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3),
+                           minval=-0.1, maxval=1.1)
+    ref = np.asarray(hash_encode(table, x, spec))
+    bak = np.asarray(hash_encode(table, x, spec,
+                                 prebuilt_baked=(baked, fine, dense)))
+    C = spec.level_dim
+    np.testing.assert_allclose(bak[:, fine * C:(fine + 1) * C],
+                               ref[:, fine * C:(fine + 1) * C],
+                               rtol=1e-5, atol=1e-4)
+    for lvl in range(spec.num_levels):
+        if lvl not in dense:
+            np.testing.assert_array_equal(bak[:, lvl * C:(lvl + 1) * C],
+                                          ref[:, lvl * C:(lvl + 1) * C])
+    oob = np.asarray(((x < 0) | (x > 1)).any(axis=1))
+    assert oob.any()
+    np.testing.assert_array_equal(bak[oob], 0.0)
+    # coarse-level resample error is bounded by within-cell variation; on a
+    # U(-1,1)-scale random table it must stay well under the signal scale
+    for lvl in dense[:-1]:
+        err = np.abs(bak[:, lvl * C:(lvl + 1) * C]
+                     - ref[:, lvl * C:(lvl + 1) * C])
+        assert err.mean() < 0.35 * np.abs(ref[:, lvl * C:(lvl + 1) * C]).mean()
+
+
+def test_baked_dense_exact_at_fine_vertices():
+    """At virtual positions of fine-lattice vertices every dense level's
+    baked value equals the exact encode (the bake samples there)."""
+    from pvd_tpu.ops.hashgrid import baked_dense_plan, build_baked_dense
+
+    spec = HashGridSpec(num_levels=5, base_resolution=4,
+                        desired_resolution=32, log2_hashmap_size=12)
+    fine, dense = baked_dense_plan(spec)
+    table = init_hash_table(jax.random.PRNGKey(3), spec) * 1e4
+    baked, _, _ = build_baked_dense(table, spec)
+    scale_f = spec.level_scale(fine)
+    # interior vertices only (edge vertices extrapolate the coarse levels)
+    v = np.arange(2, 12, dtype=np.float64)
+    x1 = (v - 0.5) / scale_f
+    g = np.stack(np.meshgrid(x1[:4], x1[:4], x1[:4], indexing="ij"),
+                 axis=-1).reshape(-1, 3)
+    ref = np.asarray(hash_encode(table, jnp.asarray(g), spec))
+    bak = np.asarray(hash_encode(table, jnp.asarray(g), spec,
+                                 prebuilt_baked=(baked, fine, dense)))
+    C = spec.level_dim
+    for lvl in dense:
+        np.testing.assert_allclose(bak[:, lvl * C:(lvl + 1) * C],
+                                   ref[:, lvl * C:(lvl + 1) * C],
+                                   rtol=1e-4, atol=2e-3)

@@ -29,11 +29,9 @@ def main():
                     help="skip teacher training if its best ckpt exists")
     args = ap.parse_args()
 
-    import jax
+    from pvd_tpu.utils.misc import setup_jax_cache_and_platform
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    setup_jax_cache_and_platform()
 
     from pvd_tpu.data.synth import make_synthetic_scene
 
