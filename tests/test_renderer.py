@@ -2,6 +2,7 @@
 
 import dataclasses
 import math
+import pytest
 
 import numpy as np
 import jax
@@ -321,10 +322,15 @@ def test_dilate_bitfield_is_cube_maxpool():
     np.testing.assert_array_equal(out, want)
 
 
-def test_background_model_renders():
-    """bg_radius > 0 routes the background through the learned sphere model."""
-    spec = ModelSpec(model_type="hash", hash_num_levels=4,
-                     hash_desired_res=64, bg_radius=32.0)
+@pytest.mark.parametrize("model_type", ["hash", "mlp", "vm", "tensors"])
+def test_background_model_renders(model_type):
+    """bg_radius > 0 routes the background through the learned sphere model
+    for EVERY architecture (reference builds the bg net for any model_type,
+    network.py:154-182 — including tensors)."""
+    spec = ModelSpec(model_type=model_type, hash_num_levels=4,
+                     hash_desired_res=64, vm_resolution=(32, 32, 32),
+                     plenoxel_res=(24, 24, 24), nerf_layer_num=2,
+                     nerf_layer_wide=32, bg_radius=32.0)
     params = init_field(jax.random.PRNGKey(11), spec)
     assert "bg" in params
     rspec = _spec()
