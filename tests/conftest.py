@@ -85,7 +85,14 @@ def _clear_jax_caches_per_module():
     try:
         with open("/proc/self/statm") as f:
             rss_pages = int(f.read().split()[1])
+        threads = "?"
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("Threads:"):
+                    threads = line.split()[1]
+                    break
+        nfds = len(os.listdir("/proc/self/fd"))
         with open("/tmp/pvd_suite_rss.log", "a") as f:
-            f.write(f"{rss_pages * 4 // 1024} MiB\n")
+            f.write(f"{rss_pages * 4 // 1024} MiB thr={threads} fds={nfds}\n")
     except OSError:
         pass

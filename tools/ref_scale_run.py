@@ -88,7 +88,7 @@ def main():
     t0 = time.time()
     stats = distill.main([
         args.root, "--teacher_type", "hash", "--model_type", "vm",
-        "--hash_cell_levels", "9", "--grid_size", "128",
+        "--hash_cell_levels", "9", "--hash_bake_dense", "--grid_size", "128",
         "--ckpt_teacher", tea_ckpt, "--workspace", dis_ws,
         "--iters", str(dis_iters),
         "--stage_iters", "stage1=2000,stage2=5000",
