@@ -26,6 +26,32 @@ def linear_to_srgb(x):
     return jnp.where(x < 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
 
 
+def cpu_cache_key() -> str:
+    """Host key for the XLA:CPU persistent-cache dir.
+
+    Hash the cpuinfo MODEL NAME as well as the flags line: two hosts in
+    this pool share identical flags but different models, and LLVM's
+    model-based tuning features (e.g. prefer-no-scatter) make their AOT
+    executables mutually unloadable (cpu_aot_loader E-logs + recompile) —
+    flags alone under-key the cache.
+    """
+    import hashlib
+
+    model = flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if not model and line.startswith("model name"):
+                    model = line
+                elif not flags and line.startswith("flags"):
+                    flags = line
+                if model and flags:
+                    break
+    except OSError:
+        return "generic"
+    return hashlib.sha1((model + flags).encode()).hexdigest()[:8]
+
+
 def setup_jax_cache_and_platform():
     """Tool-side jax setup: honor PVD_FORCE_CPU and pick a safe persistent
     compile-cache directory.
@@ -39,23 +65,12 @@ def setup_jax_cache_and_platform():
     share /tmp/jax_bench_cache (executables are for the device, not the
     host).
     """
-    import hashlib
-
     import jax
 
     force_cpu = bool(os.environ.get("PVD_FORCE_CPU"))
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-        key = "generic"
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        key = hashlib.sha1(line.encode()).hexdigest()[:8]
-                        break
-        except OSError:
-            pass
-        cache = f"/tmp/jax_test_cache_{key}"
+        cache = f"/tmp/jax_test_cache_{cpu_cache_key()}"
     else:
         cache = "/tmp/jax_bench_cache"
     jax.config.update("jax_compilation_cache_dir", cache)

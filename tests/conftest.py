@@ -27,22 +27,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: first-touch primitive compiles dominate CPU test
 # time; cache them across runs.  The dir is keyed by this machine's CPU
-# flags — XLA:CPU AOT executables from a different host SIGILL ("Fatal
-# Python error" mid-suite, seen when /tmp survives across machine types)
-import hashlib  # noqa: E402
-
-def _cpu_key():
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
-    except OSError:
-        pass
-    return "generic"
+# model+flags — XLA:CPU AOT executables from a different host are
+# unloadable (cpu_aot_loader refuses mismatched tuning features and
+# recompiles; mismatched ISA can SIGILL). /tmp survives host changes in
+# this pool, and two pool hosts share a flags line, hence model+flags.
+from pvd_tpu.utils.misc import cpu_cache_key  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_test_cache_{_cpu_key()}")
+                  f"/tmp/jax_test_cache_{cpu_cache_key()}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

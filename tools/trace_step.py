@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--bound", type=float, default=1.0)
     ap.add_argument("--dt_gamma", type=float, default=0.0)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--bake", action="store_true",
+                    help="baked frozen-teacher dense levels (hash_bake_dense)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="/tmp/pvd_trace")
     args = ap.parse_args()
@@ -61,7 +63,8 @@ def main():
                     bound=args.bound, dt_gamma=args.dt_gamma)
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
-                         hash_cell_levels=args.cell_levels)
+                         hash_cell_levels=args.cell_levels,
+                         hash_bake_dense=args.bake)
     spec_stu = ModelSpec(model_type="vm", vm_resolution=(args.res0,) * 3,
                          compute_dtype="bfloat16")
 
