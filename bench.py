@@ -168,21 +168,68 @@ def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     return metric, rays_per_sec
 
 
+def tpu_available(deadline_s: float) -> bool:
+    """Probe the axon TPU in a DETACHED subprocess with a deadline.
+
+    A wedged/unavailable tunnel makes backend init block for ~25 minutes —
+    far past the driver budget — so the main process must not touch it
+    blindly.  The probe child is never killed (killing a TPU client wedges
+    the tunnel for everyone); on timeout it is left to exit on its own and
+    this process proceeds on CPU.
+    """
+    import subprocess
+
+    probe = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp;"
+         "x = jnp.ones((128, 128));"
+         "print('AXON_OK', float((x@x).sum()), jax.default_backend(),"
+         "flush=True)"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < deadline_s:
+        if probe.poll() is not None:
+            out = probe.stdout.read() if probe.stdout else ""
+            return "AXON_OK" in out
+        time.sleep(1.0)
+    log(f"axon probe silent after {deadline_s:.0f}s -- leaving it to exit "
+        "on its own, measuring on CPU")
+    return False
+
+
 def main():
     timer = threading.Timer(BUDGET_S, watchdog)
     timer.daemon = True
     timer.start()
 
+    use_tpu = tpu_available(deadline_s=min(75.0, BUDGET_S * 0.2))
+
     import jax
 
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compile cache: repeat runs (and the driver run after this
-    # session has warmed the cache) skip every compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # session has warmed the cache) skip every compile.  CPU fallback uses
+    # the host-keyed dir (XLA:CPU AOT results are host-specific; TPU
+    # executables are for the device, shared across hosts).
+    if use_tpu:
+        cache_dir = "/tmp/jax_bench_cache"
+    else:
+        from pvd_tpu.utils.misc import cpu_cache_key
+
+        cache_dir = f"/tmp/jax_test_cache_{cpu_cache_key()}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     log(f"backend={jax.default_backend()} budget={BUDGET_S}s")
 
     from pvd_tpu.config import PVDConfig
+
+    # On the CPU fallback the per-step wall is ~100x the TPU's: shrink the
+    # timed loops so a measured (clearly CPU-labeled) number still lands
+    # inside the budget.  The result metric carries jax.default_backend().
+    it1, it2, it4 = (10, 30, 6) if use_tpu else (2, 3, 1)
 
     # Phase 1: cheap fallback (round-1 proven-fast shape). Secures a real
     # measured number before we attempt anything expensive.
@@ -190,7 +237,7 @@ def main():
         cfg_cheap = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
                               resolution0=300, max_samples=32,
                               samples_per_ray=8.0, autotune_budget=False)
-        metric, rps = bench_config("fallback(S_max=32)", cfg_cheap, iters=10)
+        metric, rps = bench_config("fallback(S_max=32)", cfg_cheap, iters=it1)
         _result.update(metric=metric, value=round(rps, 1),
                        vs_baseline=round(rps / 2.0e6, 4), degraded=True)
     except Exception as e:  # keep going: tuned config may still work
@@ -201,7 +248,7 @@ def main():
         cfg = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
                         resolution0=300, max_samples=64, samples_per_ray=6.0,
                         autotune_budget=False)
-        metric, rps = bench_config("tuned(S_max=64)", cfg, iters=30)
+        metric, rps = bench_config("tuned(S_max=64)", cfg, iters=it2)
         _result.update(metric=metric, value=round(rps, 1),
                        vs_baseline=round(rps / 2.0e6, 4))
         _result.pop("degraded", None)
@@ -214,7 +261,7 @@ def main():
     # approximation, quality-A/B'd (STATUS.md); kept only if faster.
     bake = False
     try:
-        metric, rps = bench_config("tuned+bake", cfg, iters=30, bake=True)
+        metric, rps = bench_config("tuned+bake", cfg, iters=it2, bake=True)
         if rps > _result["value"]:
             bake = True
             _result.update(metric=metric + " +bake", value=round(rps, 1),
@@ -229,7 +276,7 @@ def main():
     # improves the result when the persistent cache is warm — the watchdog
     # emits the best number so far otherwise.
     try:
-        metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=6,
+        metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=it4,
                                    scan_steps=8, bake=bake)
         if rps > _result["value"]:
             _result.update(metric=metric + (" +bake" if bake else ""),
@@ -239,6 +286,9 @@ def main():
     except Exception as e:
         log(f"scan config FAILED: {type(e).__name__}: {e}")
 
+    if not use_tpu:
+        # a CPU number is a liveness signal, not the headline metric
+        _result["degraded"] = True
     timer.cancel()
     emit_and_exit()
 
