@@ -76,7 +76,7 @@ def main():
         ])
         results["teacher_psnr"] = stats.get("psnr")
         results["teacher_wall_s"] = round(time.time() - t0, 1)
-        print(f"[ref] teacher PSNR {stats.get('psnr'):.3f} "
+        print(f"[ref] teacher PSNR {stats.get('psnr')} "
               f"in {results['teacher_wall_s']}s")
         tea_ckpt = find_best(tea_ws)
 
@@ -99,7 +99,7 @@ def main():
     ])
     results["distill_psnr"] = stats.get("psnr")
     results["distill_wall_s"] = round(time.time() - t0, 1)
-    print(f"[ref] distill PSNR {stats.get('psnr'):.3f} "
+    print(f"[ref] distill PSNR {stats.get('psnr')} "
           f"in {results['distill_wall_s']}s")
 
     with open(args.out, "w") as f:
