@@ -145,6 +145,10 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
     p.add_argument("--scan_steps", type=int, default=0,
                    help="fuse K distill steps into one lax.scan dispatch "
                         "(TPU host-overhead amortization; 0 = off)")
+    p.add_argument("--wall_budget", type=float, default=0.0,
+                   help="graceful wall-clock budget for training in seconds "
+                        "(0 = unlimited); ends early at an epoch boundary "
+                        "with the normal final checkpoint + eval")
     return p
 
 

@@ -246,6 +246,11 @@ class PVDConfig:
     hash_bake_dense: bool = False  # bake frozen-teacher dense levels into 1 row
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all local devices
     eval_interval: int = 50
+    # graceful wall-clock budget for Trainer.train (seconds; 0 = unlimited).
+    # When exhausted the run ends early AT AN EPOCH BOUNDARY with the normal
+    # end-of-training checkpoint + eval, instead of overrunning — needed on
+    # the shared axon TPU where a training process must never be killed.
+    wall_budget: float = 0.0
     # TensorBoard event writing (tensorboardX spawns event-pump threads per
     # writer; tests set this False — or PVD_DISABLE_TB=1 — to avoid thread
     # exhaustion across many Trainer instances in one process)

@@ -736,6 +736,17 @@ class Trainer:
                 step += 1
                 done_in_epoch += 1
 
+            # graceful wall-clock budget (shared-TPU safety: the process
+            # must finish on its own, never be killed): exhausting it turns
+            # THIS epoch boundary into the end of training, so the normal
+            # final checkpoint + eval below still run
+            if (cfg.wall_budget > 0 and step < total
+                    and time.time() - t_start >= cfg.wall_budget):
+                self.log(f"[{self.name}] wall budget "
+                         f"({cfg.wall_budget:.0f}s) exhausted at step "
+                         f"{step}/{total}; finishing early")
+                total = step
+
             # epoch boundary: interval checkpoints near the end of training
             # (reference saves at the last 2 epochs, utils.py:527-534) and
             # periodic eval + best tracking

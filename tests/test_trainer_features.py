@@ -229,3 +229,24 @@ def test_scan_steps_fused_distill(scene, tmp_path_factory):
     assert np.isfinite(float(tr._last_metrics["loss"]))
     tr.close()
     tea.close()
+
+
+def test_wall_budget_ends_training_gracefully(scene, tmp_path_factory):
+    """cfg.wall_budget must end the run early AT AN EPOCH BOUNDARY with the
+    normal final checkpoint + eval (shared-TPU safety: a training process is
+    never killed; it must finish on its own).  wall_budget=tiny -> the first
+    epoch boundary becomes the end of training."""
+    ws = str(tmp_path_factory.mktemp("ws_wallb"))
+    cfg = _cfg(scene, ws, model_type="hash", iters=10_000, eval_interval=999,
+               wall_budget=1e-3)
+    tr = Trainer(cfg, mode="teacher")
+    train_ds = NeRFDataset(cfg, "train")
+    valid_ds = NeRFDataset(cfg, "val")
+    tr.train(train_ds, valid_ds=valid_ds)
+    step = int(tr.state.step)
+    # stopped at the first epoch boundary, far short of cfg.iters
+    assert 0 < step <= len(train_ds.poses)
+    # final save + eval still ran (best ckpt tracked despite interval 999)
+    assert os.path.exists(os.path.join(ws, "checkpoints", "hash_best.ckpt"))
+    assert tr.best_psnr > 0
+    tr.close()

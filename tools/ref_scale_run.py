@@ -41,7 +41,12 @@ def main():
     ap.add_argument("--distill_iters", type=int, default=0)
     ap.add_argument("--scan_steps", type=int, default=8)
     ap.add_argument("--out", default="/tmp/ref_scale_result.json")
+    ap.add_argument("--wall_budget", type=float, default=0.0,
+                    help="total wall budget (s) split across both phases; "
+                         "each phase ends gracefully at an epoch boundary "
+                         "with its final checkpoint + eval (0 = unlimited)")
     args = ap.parse_args()
+    t_run0 = time.time()
 
     tea_iters = args.teacher_iters or (40000 if args.full else 20000)
     dis_iters = args.distill_iters or (30000 if args.full else 15000)
@@ -67,12 +72,19 @@ def main():
     else:
         from pvd_tpu.cli import train_teacher
 
+        # teacher gets at most 50% of whatever budget remains (the final
+        # eval runs inside the trainer, slightly past its own budget)
+        tea_budget = 0.0
+        if args.wall_budget:
+            tea_budget = max(
+                300.0, (args.wall_budget - (time.time() - t_run0)) * 0.5)
         t0 = time.time()
         stats = train_teacher.main([
             args.root, "--model_type", "hash", "--hash_cell_levels", "9",
             "--iters", str(tea_iters), "--grid_size", "128",
             "--num_rays", "8192", "--workspace", tea_ws,
             "--eval_interval", "100",
+            "--wall_budget", str(tea_budget),
         ])
         results["teacher_psnr"] = stats.get("psnr")
         results["teacher_wall_s"] = round(time.time() - t0, 1)
@@ -85,6 +97,11 @@ def main():
     from pvd_tpu.cli import distill
 
     dis_ws = os.path.join(args.ws, "h2v")
+    dis_budget = 0.0
+    if args.wall_budget:
+        # leave ~180s headroom for the in-budget-overrun final eval + json
+        dis_budget = max(
+            300.0, args.wall_budget - (time.time() - t_run0) - 180.0)
     t0 = time.time()
     stats = distill.main([
         args.root, "--teacher_type", "hash", "--model_type", "vm",
@@ -96,6 +113,7 @@ def main():
         "--samples_per_ray", "6", "--no_autotune_budget",
         "--scan_steps", str(args.scan_steps),
         "--eval_interval", "20", "--ckpt", "scratch",
+        "--wall_budget", str(dis_budget),
     ])
     results["distill_psnr"] = stats.get("psnr")
     results["distill_wall_s"] = round(time.time() - t0, 1)
