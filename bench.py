@@ -84,6 +84,19 @@ def object_like_bitfield(H: int) -> np.ndarray:
     return g.reshape(-1)
 
 
+def cascaded_bitfield(H: int, C: int) -> np.ndarray:
+    """Cascade 0 = the object grid; outer cascades = a sparse far shell
+    (like a converged tank/LLFF grid, where cascade>0 holds background
+    geometry at ~2% occupancy)."""
+    parts = [object_like_bitfield(H)]
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    for _ in range(1, C):
+        parts.append(((r > 0.80) & (r < 0.86)).reshape(-1))
+    return np.concatenate(parts)
+
+
 def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     """Build + run one distill-step config; return (metric_str, rays/sec)."""
     import jax
@@ -102,17 +115,19 @@ def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     H, W = 800, 800
     rspec = cfg.render_spec()
     spec_tea = ModelSpec(model_type="hash", compute_dtype="bfloat16",
-                         hash_cell_levels=9, hash_bake_dense=bake)
+                         hash_cell_levels=9, hash_bake_dense=bake,
+                         bound=cfg.bound)
     spec_stu = ModelSpec(model_type="vm", vm_resolution=(300, 300, 300),
-                         compute_dtype="bfloat16")
+                         compute_dtype="bfloat16", bound=cfg.bound)
 
     k = jax.random.PRNGKey(0)
     params_tea = attach_packed(init_field(jax.random.fold_in(k, 0), spec_tea),
                                spec_tea)
     params_stu = init_field(jax.random.fold_in(k, 1), spec_stu)
 
-    occ = set_bitfield(init_occupancy_state(rspec),
-                       jnp.asarray(object_like_bitfield(rspec.grid_size)))
+    occ = set_bitfield(
+        init_occupancy_state(rspec),
+        jnp.asarray(cascaded_bitfield(rspec.grid_size, rspec.cascades)))
 
     opt = build_optimizer(
         params_stu,
@@ -285,6 +300,24 @@ def main():
             _result.pop("degraded", None)
     except Exception as e:
         log(f"scan config FAILED: {type(e).__name__}: {e}")
+
+    # Phase 5 (auxiliary, never replaces the headline): the cascaded /
+    # dt_gamma>0 march (LLFF/tank dataset class, raymarching.cu:44-56 mip
+    # logic).  Recorded as cascade_rays_per_sec + its ratio to the
+    # synthetic-config headline so the multi-cascade probe march's perf
+    # class is on-record (round-2 VERDICT item 4: within 2x of synthetic).
+    try:
+        cfg_c = PVDConfig(num_rays=4096, grid_size=128, max_steps=1024,
+                          resolution0=300, max_samples=64,
+                          samples_per_ray=6.0, autotune_budget=False,
+                          bound=2.0, dt_gamma=1.0 / 256.0)
+        _, rps_c = bench_config("cascade(bound=2,dt_gamma=1/256)", cfg_c,
+                                iters=it2, bake=bake)
+        _result["cascade_rays_per_sec"] = round(rps_c, 1)
+        if _result["value"] > 0:
+            _result["cascade_vs_headline"] = round(rps_c / _result["value"], 3)
+    except Exception as e:
+        log(f"cascade config FAILED: {type(e).__name__}: {e}")
 
     if not use_tpu:
         # a CPU number is a liveness signal, not the headline metric
