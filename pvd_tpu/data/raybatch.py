@@ -99,6 +99,15 @@ class RayBatcher:
         inds = self._rng.integers(0, self._hw, self.n_rays).astype(np.int32)
         return img_idx, inds, flat[img_idx, inds]
 
+    def gather(self, img_idx: int, inds: np.ndarray) -> np.ndarray:
+        """Pixels for CALLER-chosen indices (error-map importance sampling:
+        the draw depends on the latest error map, so the prefetch threads
+        cannot run ahead of it — a synchronous host gather of n_rays rows
+        is the whole job and costs microseconds)."""
+        flat = self._images.reshape(len(self._images), self._hw,
+                                    self.channels)
+        return flat[int(img_idx), np.asarray(inds, np.int64)]
+
     def close(self):
         if self._handle is not None:
             self._lib.rb_destroy(self._handle)

@@ -284,21 +284,28 @@ def make_teacher_step_host(
     W: int,
     image_channels: int,
     ema_decay: float = -1.0,
+    use_error_map: bool = False,
 ):
     """Teacher step fed by host-side batches (preload=False path).
 
     step(state, pose [4,4], inds [N] i32, pix [N,C], key): pixel indices
     and GT pixels come from the native RayBatcher (data/raybatch.py)
     instead of an on-device gather over device-resident images.
+
+    With use_error_map the importance DRAW happens on the host (it selects
+    which pixels the host gathers: ops/rays.draw_error_map_inds_np), so
+    the step instead returns (state, per_ray [N] stop-gradient losses,
+    metrics) and the caller applies the reference's 0.1/0.9 EMA cell
+    update (distill_mutual/utils.py:1125-1133) to its host-resident map.
     """
     from pvd_tpu.ops.rays import pixel_dirs
 
     intr = tuple(float(v) for v in intrinsics)
 
     def loss_fn(params, occ, rays_o, rays_d, gt, bg, key):
-        loss, (out, _) = teacher_loss(params, spec, rspec, cfg, occ, rays_o,
-                                      rays_d, gt, bg, key)
-        return loss, out
+        loss, (out, per_ray) = teacher_loss(params, spec, rspec, cfg, occ,
+                                            rays_o, rays_d, gt, bg, key)
+        return loss, (out, per_ray)
 
     @jax.jit
     def step(state: TrainState, pose, inds, pix, key):
@@ -314,9 +321,9 @@ def make_teacher_step_host(
                 [srgb_to_linear(pix[..., :3]), pix[..., 3:]], axis=-1
             )
         gt, bg = compose_gt(pix, image_channels, spec.bg_radius, k_bg)
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.occ, o, d, gt, bg, k_perturb
-        )
+        (loss, (out, per_ray)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.occ, o, d, gt, bg, k_perturb)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
@@ -332,11 +339,11 @@ def make_teacher_step_host(
         }
         if "compact_frac" in out:
             metrics["compact_frac"] = out["compact_frac"]
-        return (
-            state.replace(params=params, opt_state=opt_state,
-                          step=state.step + 1, ema_params=ema),
-            metrics,
-        )
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1, ema_params=ema)
+        if use_error_map:
+            return new_state, jax.lax.stop_gradient(per_ray), metrics
+        return new_state, metrics
 
     return step
 

@@ -601,12 +601,17 @@ class Trainer:
                                      seed=cfg.seed)
                 self.log(f"[data] host batching "
                          f"({'native' if batcher.is_native else 'numpy'})")
-                if cfg.error_map:
-                    self.log("[warn] --error_map needs --preload; the host "
-                             "batcher samples pixels uniformly (importance "
-                             "sampling disabled this run)")
             if cfg.error_map:
-                self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
+                if batcher is not None:
+                    # host-batcher mode keeps the map HOST-resident: the
+                    # importance draw selects which pixels the host gathers
+                    # (ops/rays.draw_error_map_inds_np); the EMA cell update
+                    # applies with a one-step lag from async per-ray losses
+                    self.error_map = np.ones((len(poses), 128 * 128),
+                                             np.float32)
+                else:
+                    self.error_map = jnp.ones((len(poses), 128 * 128),
+                                              jnp.float32)
         else:
             C = 4
             poses = jnp.asarray(self._distill_epoch_poses(rng_np, train_ds))
@@ -616,6 +621,7 @@ class Trainer:
                 self.error_map = jnp.ones((len(poses), 128 * 128), jnp.float32)
 
         t_start = time.time()
+        pending_emap = None  # host-batcher lagged error-map update
         # host-side step counter: reading state.step back every iteration is
         # a D2H round-trip per step through the remote-TPU tunnel
         step = int(self.state.step)
@@ -657,12 +663,38 @@ class Trainer:
                             self.spec_stu, self.rspec, self.opt, self.cfg,
                             intr, H, W, image_channels=C,
                             ema_decay=self.cfg.ema_decay,
+                            use_error_map=self.error_map is not None,
                         )
-                    idx, inds, pix = batcher.next()
-                    self.state, metrics = self._steps[key2](
-                        self.state, poses[idx], jnp.asarray(inds),
-                        jnp.asarray(pix), k_step,
-                    )
+                    if self.error_map is not None:
+                        from pvd_tpu.ops.rays import draw_error_map_inds_np
+
+                        # resolve the PREVIOUS step's per-ray losses (the
+                        # async D2H has overlapped that step's device work)
+                        # and EMA-update the host map before this draw
+                        if pending_emap is not None:
+                            p_idx, p_coarse, p_loss = pending_emap
+                            vals = np.asarray(p_loss, np.float32)
+                            row = self.error_map[p_idx]
+                            row[p_coarse] = 0.1 * row[p_coarse] + 0.9 * vals
+                            pending_emap = None
+                        inds, coarse = draw_error_map_inds_np(
+                            rng_np, self.error_map[idx], H, W, cfg.num_rays)
+                        pix = batcher.gather(idx, inds)
+                        self.state, per_ray, metrics = self._steps[key2](
+                            self.state, poses[idx], jnp.asarray(inds),
+                            jnp.asarray(pix), k_step,
+                        )
+                        try:
+                            per_ray.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        pending_emap = (idx, coarse, per_ray)
+                    else:
+                        idx, inds, pix = batcher.next()
+                        self.state, metrics = self._steps[key2](
+                            self.state, poses[idx], jnp.asarray(inds),
+                            jnp.asarray(pix), k_step,
+                        )
                 elif self.mode == "teacher" and self.mesh is not None:
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
                     if self.error_map is not None:

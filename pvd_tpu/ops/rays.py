@@ -92,3 +92,25 @@ def get_rays(rng, poses, intrinsics, H: int, W: int, n_rays: int = -1,
     out["rays_o"] = rays_o
     out["rays_d"] = rays_d
     return out
+
+
+def draw_error_map_inds_np(rng: np.random.Generator, emap_row: np.ndarray,
+                           H: int, W: int, n_rays: int):
+    """Host-side mirror of the importance draw in `get_rays` (the
+    preload=False / host-batcher path, where pixel GT is gathered on the
+    host so the draw must happen there too; reference get_rays semantics,
+    distill_mutual/utils.py:353-381).
+
+    Returns (inds [n_rays] int32 flat pixel ids, inds_coarse [n_rays] int32
+    coarse 128x128 cell ids).
+    """
+    w = np.maximum(np.asarray(emap_row, np.float64), 1e-12)
+    w = w / w.sum()
+    inds_coarse = rng.choice(128 * 128, size=n_rays, replace=True, p=w)
+    ix, iy = inds_coarse // 128, inds_coarse % 128
+    sx, sy = H / 128.0, W / 128.0
+    jx = rng.random(n_rays)
+    jy = rng.random(n_rays)
+    px = np.clip((ix * sx + jx * sx).astype(np.int32), 0, H - 1)
+    py = np.clip((iy * sy + jy * sy).astype(np.int32), 0, W - 1)
+    return (px * W + py).astype(np.int32), inds_coarse.astype(np.int32)
