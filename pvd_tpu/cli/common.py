@@ -143,8 +143,9 @@ def base_parser(distill: bool) -> argparse.ArgumentParser:
                    action="store_false",
                    help="freeze S_max / sample budget (no bucket adaptation)")
     p.add_argument("--scan_steps", type=int, default=0,
-                   help="fuse K distill steps into one lax.scan dispatch "
-                        "(TPU host-overhead amortization; 0 = off)")
+                   help="fuse K train steps (teacher or distill) into one "
+                        "lax.scan dispatch (TPU host-overhead amortization; "
+                        "0 = off)")
     p.add_argument("--wall_budget", type=float, default=0.0,
                    help="graceful wall-clock budget for training in seconds "
                         "(0 = unlimited); ends early at an epoch boundary "

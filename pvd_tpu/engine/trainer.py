@@ -324,7 +324,7 @@ class Trainer:
         only at multiples of K so they stay aligned with the tick cadence.
         """
         K = self.cfg.scan_steps
-        if (K <= 1 or self.mode != "distill" or self.mesh is not None
+        if (K <= 1 or self.mode not in ("distill", "teacher")
                 or self.error_map is not None):
             return 1
         if step % K != 0 or left_in_epoch < K or step + K > total:
@@ -345,11 +345,41 @@ class Trainer:
                           K: int):
         key = ("scan", stage, H, W, C, K)
         if key not in self._steps:
-            self._steps[key] = make_distill_step(
-                self.spec_stu, self.spec_tea, self.rspec, self.opt,
-                self.cfg, intr, H, W, stage=stage,
-                ema_decay=self.cfg.ema_decay, scan_steps=K,
-            )
+            if self.mesh is not None:
+                from pvd_tpu.parallel import make_dp_distill_step
+
+                self._steps[key] = make_dp_distill_step(
+                    self.spec_stu, self.spec_tea, self.rspec, self.opt,
+                    self.cfg, self.mesh, intr, H, W, stage=stage,
+                    ema_decay=self.cfg.ema_decay, scan_steps=K,
+                )
+            else:
+                self._steps[key] = make_distill_step(
+                    self.spec_stu, self.spec_tea, self.rspec, self.opt,
+                    self.cfg, intr, H, W, stage=stage,
+                    ema_decay=self.cfg.ema_decay, scan_steps=K,
+                )
+        return self._steps[key]
+
+    def _get_scan_teacher_fn(self, H: int, W: int, C: int, intr, K: int):
+        key = ("scan_tea", H, W, C, K)
+        if key not in self._steps:
+            if self.mesh is not None:
+                from pvd_tpu.parallel import make_dp_teacher_step
+
+                self._steps[key] = make_dp_teacher_step(
+                    self.spec_stu, self.rspec, self.opt, self.cfg,
+                    self.mesh, intr, H, W, image_channels=C,
+                    ema_decay=self.cfg.ema_decay, scan_steps=K,
+                )
+            else:
+                from pvd_tpu.engine.train_steps import make_teacher_step
+
+                self._steps[key] = make_teacher_step(
+                    self.spec_stu, self.rspec, self.opt, self.cfg, intr,
+                    H, W, image_channels=C, ema_decay=self.cfg.ema_decay,
+                    scan_steps=K,
+                )
         return self._steps[key]
 
     def _log_scan_chunk(self, logs_k, step: int, K: int, total: int,
@@ -696,6 +726,23 @@ class Trainer:
                             jnp.asarray(pix), k_step,
                         )
                 elif self.mode == "teacher" and self.mesh is not None:
+                    K = self._scan_chunk_len(
+                        step, stage, total, steps_this_epoch - done_in_epoch)
+                    if K > 1:
+                        scan_fn = self._get_scan_teacher_fn(H, W, C, intr, K)
+                        idx_k = rng_np.integers(0, len(poses), size=K)
+                        self.state, logs_k = scan_fn(
+                            self.state, images,
+                            jnp.asarray(idx_k, jnp.int32),
+                            poses[jnp.asarray(idx_k)], k_step,
+                        )
+                        metrics = {k: v[-1] for k, v in logs_k.items()}
+                        self._log_scan_chunk(logs_k, step, K, total, stage,
+                                             t_start)
+                        self._last_metrics = metrics
+                        step += K
+                        done_in_epoch += K
+                        continue
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
                     if self.error_map is not None:
                         self.state, emap, metrics = step_fn(
@@ -708,6 +755,23 @@ class Trainer:
                             self.state, poses[idx], images[idx], k_step
                         )
                 elif self.mode == "teacher":
+                    K = self._scan_chunk_len(
+                        step, stage, total, steps_this_epoch - done_in_epoch)
+                    if K > 1:
+                        scan_fn = self._get_scan_teacher_fn(H, W, C, intr, K)
+                        idx_k = rng_np.integers(0, len(poses), size=K)
+                        self.state, logs_k = scan_fn(
+                            self.state, images,
+                            jnp.asarray(idx_k, jnp.int32),
+                            poses[jnp.asarray(idx_k)], k_step,
+                        )
+                        metrics = {k: v[-1] for k, v in logs_k.items()}
+                        self._log_scan_chunk(logs_k, step, K, total, stage,
+                                             t_start)
+                        self._last_metrics = metrics
+                        step += K
+                        done_in_epoch += K
+                        continue
                     step_fn = self._get_step_fn(stage, H, W, C, intr)
                     emap = (
                         self.error_map[idx] if self.error_map is not None

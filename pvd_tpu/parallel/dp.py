@@ -60,6 +60,7 @@ def make_dp_teacher_step(
     image_channels: int,
     ema_decay: float = -1.0,
     use_error_map: bool = False,
+    scan_steps: int = 0,
 ):
     """Returns jitted step(state, pose [4,4], image_flat [H*W, C], key).
 
@@ -71,6 +72,12 @@ def make_dp_teacher_step(
     utils.py:353-381), and the per-ray losses + coarse indices come back
     sharded over 'rays' so the EMA cell update (utils.py:1125-1133) runs
     once at the jit level over the full batch — single-chip semantics.
+
+    scan_steps > 0 (without error map) returns instead
+    step(state, images_flat [B, H*W, C], idxs [K] i32, poses [K,4,4], key)
+    -> (state, metrics stacked [K]): K sharded optimizer steps in one
+    lax.scan dispatch (shard_map composes under scan; the psum'd grads and
+    pmean'd metrics are identical to K single dispatches).
     """
     intr = tuple(float(v) for v in intrinsics)
     n_dev = mesh.devices.size
@@ -151,6 +158,27 @@ def make_dp_teacher_step(
 
         return step_emap
 
+    if scan_steps > 0 and not use_error_map:
+        # NOTE: no donate_argnums — buffer donation through the axon
+        # tunnel raises TPU InvalidArgument at execution time
+        @jax.jit
+        def step_scan(state: TrainState, images_flat, idxs, poses, key):
+            key = jax.random.fold_in(key, state.step)  # constant-key ok
+            keys = jax.random.split(key, scan_steps)
+            zero = jnp.zeros((128 * 128,), jnp.float32)
+
+            def body(st, inp):
+                pose_i, idx_i, k = inp
+                metrics, grads, _, _ = smap(
+                    st.params, st.occ, pose_i, images_flat[idx_i], zero, k)
+                st, metrics = _apply(st, metrics, grads)
+                return st, metrics
+
+            state, logs = jax.lax.scan(body, state, (poses, idxs, keys))
+            return state, logs
+
+        return step_scan
+
     @jax.jit
     def step(state: TrainState, pose, image_flat, key):
         zero = jnp.zeros((128 * 128,), jnp.float32)
@@ -174,6 +202,7 @@ def make_dp_distill_step(
     stage: int = 3,
     ema_decay: float = -1.0,
     use_error_map: bool = False,
+    scan_steps: int = 0,
 ):
     """Data-parallel distillation step (stage static).
 
@@ -256,6 +285,27 @@ def make_dp_distill_step(
             return state, new_emap, logs
 
         return step_emap
+
+    if scan_steps > 0 and not use_error_map:
+        # same scan contract as the single-chip distill scan
+        # (train_steps.make_distill_step): K sharded steps, one dispatch
+        @jax.jit
+        def step_scan(state: TrainState, params_tea, occ_tea, poses, key):
+            key = jax.random.fold_in(key, state.step)  # constant-key ok
+            keys = jax.random.split(key, scan_steps)
+            zero = jnp.zeros((128 * 128,), jnp.float32)
+
+            def body(st, inp):
+                pose_i, k = inp
+                logs, grads, _, _ = smap(st.params, params_tea, st.occ,
+                                         occ_tea, pose_i, zero, k, st.step)
+                st, logs = _apply(st, logs, grads)
+                return st, logs
+
+            state, logs = jax.lax.scan(body, state, (poses, keys))
+            return state, logs
+
+        return step_scan
 
     @jax.jit
     def step(state: TrainState, params_tea, occ_tea, pose, key):

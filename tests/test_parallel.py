@@ -263,3 +263,71 @@ def test_dp_teacher_error_map_matches_singlechip_shape(mesh):
     e = np.asarray(emap)
     assert np.isfinite(e).all() and (e != 1.0).any()
     assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_dp_distill_scan_steps(mesh):
+    """scan_steps fuses K SHARDED distill steps into one dispatch
+    (shard_map composes under lax.scan): step counter advances by K,
+    stacked [K] logs are finite, and the loss still improves."""
+    (cfg, rspec, spec_tea, spec_stu, params_tea, occ, opt, state,
+     pose) = _distill_setup(num_rays=256)
+    K = 4
+    step = make_dp_distill_step(
+        spec_stu, spec_tea, rspec, opt, cfg, mesh,
+        intrinsics=(40.0, 40.0, 24.0, 24.0), H=48, W=48, stage=3,
+        scan_steps=K,
+    )
+    key = jax.random.PRNGKey(3)
+    poses_k = jnp.tile(pose[None], (K, 1, 1))
+    losses = []
+    for _ in range(10):
+        state, logs = step(state, params_tea, occ, poses_k, key)
+        losses.extend(np.asarray(logs["loss"]).tolist())
+    assert int(state.step) == 40
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-8:]) < np.mean(losses[:8]) * 0.8, losses
+
+
+def test_dp_teacher_scan_steps(mesh):
+    """Teacher scan under the mesh: K sharded steps in one dispatch, GT
+    sliced from the replicated image stack inside the scan body."""
+    from pvd_tpu.parallel import make_dp_teacher_step
+
+    cfg = PVDConfig(num_rays=256, grid_size=32, max_steps=128,
+                    max_samples=32, samples_per_ray=8.0)
+    rspec = cfg.render_spec()
+    spec = ModelSpec(model_type="hash", hash_num_levels=6,
+                     hash_desired_res=128)
+    k = jax.random.PRNGKey(0)
+    params = init_field(k, spec)
+    occ = set_bitfield(
+        init_occupancy_state(rspec),
+        jax.random.uniform(jax.random.fold_in(k, 2), (32 ** 3,)) < 0.25,
+    )
+    opt = build_optimizer(
+        params, label_fn=param_group_label(spec),
+        trainable_fn=trainable_label(spec, ""),
+        schedule_main=cosine_schedule(1e-2, 100),
+        schedule_lr2=cosine_schedule(1e-3, 100),
+    )
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       occ=occ, step=jnp.int32(0))
+    from pvd_tpu.data.poses import pose_spherical
+    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
+
+    H = W = 48
+    pose = jnp.asarray(
+        nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0), scale=0.8))
+    images = jax.random.uniform(jax.random.fold_in(k, 5), (3, H * W, 4))
+    K = 4
+    step = make_dp_teacher_step(
+        spec, rspec, opt, cfg, mesh, intrinsics=(40.0, 40.0, 24.0, 24.0),
+        H=H, W=W, image_channels=4, scan_steps=K,
+    )
+    poses_k = jnp.tile(pose[None], (K, 1, 1))
+    idxs = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    state, logs = step(state, images, idxs, poses_k, jax.random.PRNGKey(7))
+    assert int(state.step) == K
+    assert logs["loss"].shape == (K,)
+    assert np.isfinite(np.asarray(logs["loss"])).all()
+    assert np.isfinite(np.asarray(logs["psnr"])).all()

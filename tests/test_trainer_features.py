@@ -250,3 +250,22 @@ def test_wall_budget_ends_training_gracefully(scene, tmp_path_factory):
     assert os.path.exists(os.path.join(ws, "checkpoints", "hash_best.ckpt"))
     assert tr.best_psnr > 0
     tr.close()
+
+
+def test_scan_steps_fused_teacher(scene, tmp_path_factory):
+    """cfg.scan_steps also fuses TEACHER steps (GT pixels come from one flat
+    gather over the device-resident image stack inside the lax.scan body).
+    The fused run must execute exactly `iters` optimizer steps with finite
+    metrics, single-stepping across occupancy-update ticks (iv=16 with K=4
+    leaves steps 0..15 eligible in chunks of 4, etc.)."""
+    ws = str(tmp_path_factory.mktemp("ws_tea_scanfuse"))
+    cfg = _cfg(scene, ws, model_type="hash", iters=40, scan_steps=4,
+               num_rays=128)
+    tr = Trainer(cfg, mode="teacher")
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 40
+    assert any(k[0] == "scan_tea" for k in tr._steps), list(tr._steps)
+    assert np.isfinite(float(tr._last_metrics["loss"]))
+    stats = tr.evaluate(NeRFDataset(cfg, "test"))
+    assert np.isfinite(stats["psnr"]) and stats["psnr"] > 10.0
+    tr.close()

@@ -84,6 +84,7 @@ def main():
             "--iters", str(tea_iters), "--grid_size", "128",
             "--num_rays", "8192", "--workspace", tea_ws,
             "--eval_interval", "100",
+            "--scan_steps", str(args.scan_steps),
             "--wall_budget", str(tea_budget),
         ])
         results["teacher_psnr"] = stats.get("psnr")
