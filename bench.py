@@ -191,6 +191,11 @@ def tpu_available(deadline_s: float) -> bool:
     blindly.  The probe child is never killed (killing a TPU client wedges
     the tunnel for everyone); on timeout it is left to exit on its own and
     this process proceeds on CPU.
+
+    Measured cold-init facts (fresh host, 2026-08-19): the FIRST axon
+    backend init after host boot can take >75s (a 75s probe left a zombie
+    child that succeeded moments later); warm init is a few seconds.  So
+    the deadline must cover a cold init — override with PVD_BENCH_PROBE_S.
     """
     import subprocess
 
@@ -205,7 +210,10 @@ def tpu_available(deadline_s: float) -> bool:
     while time.perf_counter() - t0 < deadline_s:
         if probe.poll() is not None:
             out = probe.stdout.read() if probe.stdout else ""
-            return "AXON_OK" in out
+            ok = "AXON_OK" in out
+            log(f"axon probe {'OK' if ok else 'FAILED'} after "
+                f"{time.perf_counter() - t0:.0f}s")
+            return ok
         time.sleep(1.0)
     log(f"axon probe silent after {deadline_s:.0f}s -- leaving it to exit "
         "on its own, measuring on CPU")
@@ -217,7 +225,16 @@ def main():
     timer.daemon = True
     timer.start()
 
-    use_tpu = tpu_available(deadline_s=min(75.0, BUDGET_S * 0.2))
+    # measured 2026-08-19: a healthy-but-cold axon init takes ~144s on a
+    # fresh host (the old 75s deadline wrongly degraded to CPU); the CPU
+    # fallback path needs only ~90s once its persistent cache is warm, so
+    # spending up to 240s on the probe is safe.
+    if os.environ.get("PVD_FORCE_CPU"):
+        use_tpu = False  # tool-wide CPU switch; never spawns a TPU client
+    else:
+        probe_s = float(os.environ.get("PVD_BENCH_PROBE_S", "0")) \
+            or min(240.0, BUDGET_S * 0.55)
+        use_tpu = tpu_available(deadline_s=probe_s)
 
     import jax
 
