@@ -25,6 +25,16 @@ through the axon tunnel.  Strategy:
   4. a watchdog thread prints the best result so far and hard-exits when
      PVD_BENCH_BUDGET_S (default 420s) is reached, so a hung/slow compile
      can never turn into rc=124 with no output.
+
+Process layout: the parent NEVER touches the axon backend.  ONE child
+process both probes and measures on the TPU (cold init is ~144s, measured
+2026-08-19 — a separate probe child would pay it twice), streaming its
+best-result-so-far as "BEST {json}" lines; the parent adopts the latest
+line and emits it at child exit or watchdog.  If the child shows no
+backend within PVD_BENCH_PROBE_S (wedged tunnel blocks ~25 min), the
+parent measures on CPU in-process — the child is never killed (killing a
+TPU client wedges the tunnel); an orphaned child that finishes late still
+warms the persistent cache for the next run.
 """
 
 import json
@@ -183,80 +193,21 @@ def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     return metric, rays_per_sec
 
 
-def tpu_available(deadline_s: float) -> bool:
-    """Probe the axon TPU in a DETACHED subprocess with a deadline.
-
-    A wedged/unavailable tunnel makes backend init block for ~25 minutes —
-    far past the driver budget — so the main process must not touch it
-    blindly.  The probe child is never killed (killing a TPU client wedges
-    the tunnel for everyone); on timeout it is left to exit on its own and
-    this process proceeds on CPU.
-
-    Measured cold-init facts (fresh host, 2026-08-19): the FIRST axon
-    backend init after host boot can take >75s (a 75s probe left a zombie
-    child that succeeded moments later); warm init is a few seconds.  So
-    the deadline must cover a cold init — override with PVD_BENCH_PROBE_S.
-    """
-    import subprocess
-
-    probe = subprocess.Popen(
-        [sys.executable, "-c",
-         "import jax, jax.numpy as jnp;"
-         "x = jnp.ones((128, 128));"
-         "print('AXON_OK', float((x@x).sum()), jax.default_backend(),"
-         "flush=True)"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < deadline_s:
-        if probe.poll() is not None:
-            out = probe.stdout.read() if probe.stdout else ""
-            ok = "AXON_OK" in out
-            log(f"axon probe {'OK' if ok else 'FAILED'} after "
-                f"{time.perf_counter() - t0:.0f}s")
-            return ok
-        time.sleep(1.0)
-    log(f"axon probe silent after {deadline_s:.0f}s -- leaving it to exit "
-        "on its own, measuring on CPU")
-    return False
-
-
-def main():
-    timer = threading.Timer(BUDGET_S, watchdog)
-    timer.daemon = True
-    timer.start()
-
-    # measured 2026-08-19: a healthy-but-cold axon init takes ~144s on a
-    # fresh host (the old 75s deadline wrongly degraded to CPU); the CPU
-    # fallback path needs only ~90s once its persistent cache is warm, so
-    # spending up to 240s on the probe is safe.
-    if os.environ.get("PVD_FORCE_CPU"):
-        use_tpu = False  # tool-wide CPU switch; never spawns a TPU client
-    else:
-        probe_s = float(os.environ.get("PVD_BENCH_PROBE_S", "0")) \
-            or min(240.0, BUDGET_S * 0.55)
-        use_tpu = tpu_available(deadline_s=probe_s)
-
-    import jax
-
-    if not use_tpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    # persistent compile cache: repeat runs (and the driver run after this
-    # session has warmed the cache) skip every compile.  CPU fallback uses
-    # the host-keyed dir (XLA:CPU AOT results are host-specific; TPU
-    # executables are for the device, shared across hosts).
-    if use_tpu:
-        cache_dir = "/tmp/jax_bench_cache"
-    else:
-        from pvd_tpu.utils.misc import cpu_cache_key
-
-        cache_dir = f"/tmp/jax_test_cache_{cpu_cache_key()}"
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    log(f"backend={jax.default_backend()} budget={BUDGET_S}s")
-
+def run_phases(res: dict, use_tpu: bool, on_update=None):
+    """Measure phases 1-5 into `res` (best-result-so-far dict), invoking
+    on_update() after every improvement so a supervising parent always
+    holds the latest adoptable result."""
     from pvd_tpu.config import PVDConfig
+
+    def adopt(metric, rps, degraded=False):
+        res.update(metric=metric, value=round(rps, 1),
+                   vs_baseline=round(rps / 2.0e6, 4))
+        if degraded:
+            res["degraded"] = True
+        else:
+            res.pop("degraded", None)
+        if on_update:
+            on_update()
 
     # On the CPU fallback the per-step wall is ~100x the TPU's: shrink the
     # timed loops so a measured (clearly CPU-labeled) number still lands
@@ -270,8 +221,7 @@ def main():
                               resolution0=300, max_samples=32,
                               samples_per_ray=8.0, autotune_budget=False)
         metric, rps = bench_config("fallback(S_max=32)", cfg_cheap, iters=it1)
-        _result.update(metric=metric, value=round(rps, 1),
-                       vs_baseline=round(rps / 2.0e6, 4), degraded=True)
+        adopt(metric, rps, degraded=True)
     except Exception as e:  # keep going: tuned config may still work
         log(f"fallback config FAILED: {type(e).__name__}: {e}")
 
@@ -281,42 +231,38 @@ def main():
                         resolution0=300, max_samples=64, samples_per_ray=6.0,
                         autotune_budget=False)
         metric, rps = bench_config("tuned(S_max=64)", cfg, iters=it2)
-        _result.update(metric=metric, value=round(rps, 1),
-                       vs_baseline=round(rps / 2.0e6, 4))
-        _result.pop("degraded", None)
+        adopt(metric, rps)
     except Exception as e:
         log(f"tuned config FAILED: {type(e).__name__}: {e}")
+        cfg = None
 
     # Phase 3: baked frozen-teacher dense levels (--hash_bake_dense): the 5
     # dense teacher levels cost ONE gathered row instead of five (the v5e
     # gather engine is row-rate-bound at 16-512B rows).  Teacher-side
     # approximation, quality-A/B'd (STATUS.md); kept only if faster.
     bake = False
-    try:
-        metric, rps = bench_config("tuned+bake", cfg, iters=it2, bake=True)
-        if rps > _result["value"]:
-            bake = True
-            _result.update(metric=metric + " +bake", value=round(rps, 1),
-                           vs_baseline=round(rps / 2.0e6, 4))
-            _result.pop("degraded", None)
-    except Exception as e:
-        log(f"bake config FAILED: {type(e).__name__}: {e}")
+    if cfg is not None:
+        try:
+            metric, rps = bench_config("tuned+bake", cfg, iters=it2,
+                                       bake=True)
+            if rps > res.get("value", 0.0):
+                bake = True
+                adopt(metric + " +bake", rps)
+        except Exception as e:
+            log(f"bake config FAILED: {type(e).__name__}: {e}")
 
-    # Phase 4: scan-fused tuned config (Trainer --scan_steps path).  The
-    # K-step lax.scan amortizes the per-dispatch host+tunnel overhead; its
-    # one-time compile is long through the axon tunnel, so this phase only
-    # improves the result when the persistent cache is warm — the watchdog
-    # emits the best number so far otherwise.
-    try:
-        metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=it4,
-                                   scan_steps=8, bake=bake)
-        if rps > _result["value"]:
-            _result.update(metric=metric + (" +bake" if bake else ""),
-                           value=round(rps, 1),
-                           vs_baseline=round(rps / 2.0e6, 4))
-            _result.pop("degraded", None)
-    except Exception as e:
-        log(f"scan config FAILED: {type(e).__name__}: {e}")
+        # Phase 4: scan-fused tuned config (Trainer --scan_steps path).  The
+        # K-step lax.scan amortizes the per-dispatch host+tunnel overhead;
+        # its one-time compile is long through the axon tunnel, so this
+        # phase only improves the result when the persistent cache is warm
+        # — the supervisor keeps the best number so far otherwise.
+        try:
+            metric, rps = bench_config("tuned+scan(K=8)", cfg, iters=it4,
+                                       scan_steps=8, bake=bake)
+            if rps > res.get("value", 0.0):
+                adopt(metric + (" +bake" if bake else ""), rps)
+        except Exception as e:
+            log(f"scan config FAILED: {type(e).__name__}: {e}")
 
     # Phase 5 (auxiliary, never replaces the headline): the cascaded /
     # dt_gamma>0 march (LLFF/tank dataset class, raymarching.cu:44-56 mip
@@ -330,18 +276,143 @@ def main():
                           bound=2.0, dt_gamma=1.0 / 256.0)
         _, rps_c = bench_config("cascade(bound=2,dt_gamma=1/256)", cfg_c,
                                 iters=it2, bake=bake)
-        _result["cascade_rays_per_sec"] = round(rps_c, 1)
-        if _result["value"] > 0:
-            _result["cascade_vs_headline"] = round(rps_c / _result["value"], 3)
+        res["cascade_rays_per_sec"] = round(rps_c, 1)
+        if res.get("value", 0.0) > 0:
+            res["cascade_vs_headline"] = round(rps_c / res["value"], 3)
+        if on_update:
+            on_update()
     except Exception as e:
         log(f"cascade config FAILED: {type(e).__name__}: {e}")
 
-    if not use_tpu:
-        # a CPU number is a liveness signal, not the headline metric
-        _result["degraded"] = True
+
+def _setup_cache(jax, use_tpu: bool):
+    """Persistent compile cache: repeat runs (and the driver run after this
+    session has warmed the cache) skip every compile.  CPU uses a host-keyed
+    dir (XLA:CPU AOT executables SIGILL on a different host); TPU
+    executables are for the device, shared across hosts."""
+    if use_tpu:
+        cache_dir = "/tmp/jax_bench_cache"
+    else:
+        from pvd_tpu.utils.misc import cpu_cache_key
+
+        cache_dir = f"/tmp/jax_test_cache_{cpu_cache_key()}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _run_cpu_phases() -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _setup_cache(jax, use_tpu=False)
+    log(f"parent measuring on backend={jax.default_backend()}")
+    res = {}
+    try:
+        run_phases(res, use_tpu=False)
+    except Exception as e:
+        log(f"CPU measurement FAILED: {type(e).__name__}: {e}")
+    res["degraded"] = True  # a CPU number is a liveness signal, not the
+    return res              # headline metric
+
+
+def child_main():
+    """TPU child: its own backend init IS the probe (cold init ~144s,
+    measured 2026-08-19 — a separate probe process would pay it twice).
+    Streams INIT_OK / "BEST {json}" / DONE lines for the parent to adopt;
+    all human-readable logging goes to stderr."""
+    import jax
+
+    _setup_cache(jax, use_tpu=True)
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    float((x @ x).sum())
+    if jax.default_backend() != "tpu":
+        print("INIT_CPU", flush=True)  # axon absent; parent measures on CPU
+        return
+    print("INIT_OK", flush=True)
+    log("child: tpu backend up")
+    res = {}
+    run_phases(res, use_tpu=True,
+               on_update=lambda: print("BEST " + json.dumps(res), flush=True))
+    print("DONE", flush=True)
+
+
+def _adopt(best: dict):
+    """Replace _result's payload with `best` (drop stale optional keys)."""
+    for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline"):
+        _result.pop(k, None)
+    _result.update(best)
+
+
+def main():
+    timer = threading.Timer(BUDGET_S, watchdog)
+    timer.daemon = True
+    timer.start()
+
+    if os.environ.get("PVD_FORCE_CPU"):
+        # tool-wide CPU switch; never spawns a TPU client
+        _adopt(_run_cpu_phases())
+        timer.cancel()
+        emit_and_exit()
+
+    import subprocess
+
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    state = {"init": None, "best": None}
+
+    def reader():
+        for line in child.stdout:
+            line = line.strip()
+            if line == "INIT_OK":
+                state["init"] = True
+                log("child: TPU init confirmed")
+            elif line == "INIT_CPU":
+                state["init"] = False
+            elif line.startswith("BEST "):
+                state["best"] = json.loads(line[5:])
+                _adopt(state["best"])  # watchdog always emits the latest
+                log(f"child best so far: {state['best'].get('value')}")
+
+    reader_t = threading.Thread(target=reader, daemon=True)
+    reader_t.start()
+
+    # If the child shows no backend within the probe window (a wedged
+    # tunnel blocks ~25 min), measure on CPU in-process.  The child is
+    # NEVER killed (killing a TPU client wedges the tunnel); if it finishes
+    # late it still warms the persistent cache for the next run.
+    probe_s = float(os.environ.get("PVD_BENCH_PROBE_S", "0")) \
+        or min(240.0, BUDGET_S * 0.55)
+    cpu_res = None
+    t0 = time.perf_counter()
+    while child.poll() is None:
+        if (state["init"] is None and cpu_res is None
+                and time.perf_counter() - t0 >= probe_s):
+            log(f"child silent after {probe_s:.0f}s -- parent measures on "
+                "CPU (child left to finish on its own)")
+            cpu_res = _run_cpu_phases()
+            if state["best"] is None:
+                _adopt(cpu_res)
+        if state["init"] is False:
+            break  # no TPU behind the tunnel; child exits on its own
+        time.sleep(1.0)
+
+    if child.poll() is not None:
+        reader_t.join(timeout=10.0)  # drain the child's final BEST line
+
+    if state["best"] is None and cpu_res is None:
+        # child exited with no TPU (or crashed before any phase)
+        cpu_res = _run_cpu_phases()
+        _adopt(cpu_res)
     timer.cancel()
     emit_and_exit()
 
 
 if __name__ == "__main__":
-    main()
+    if "--tpu-child" in sys.argv:
+        child_main()
+    else:
+        main()
