@@ -26,15 +26,21 @@ through the axon tunnel.  Strategy:
      PVD_BENCH_BUDGET_S (default 420s) is reached, so a hung/slow compile
      can never turn into rc=124 with no output.
 
-Process layout: the parent NEVER touches the axon backend.  ONE child
-process both probes and measures on the TPU (cold init is ~144s, measured
-2026-08-19 — a separate probe child would pay it twice), streaming its
-best-result-so-far as "BEST {json}" lines; the parent adopts the latest
-line and emits it at child exit or watchdog.  If the child shows no
-backend within PVD_BENCH_PROBE_S (wedged tunnel blocks ~25 min), the
-parent measures on CPU in-process — the child is never killed (killing a
-TPU client wedges the tunnel); an orphaned child that finishes late still
-warms the persistent cache for the next run.
+Process layout (round-4 revision; BENCH_r03 fell back to CPU because the
+in-process CPU fallback starved the TPU child's cold init on the same
+host): the parent NEVER touches any backend and NEVER measures anything
+itself.  TWO children stream best-result-so-far "BEST {json}" lines:
+  - the TPU child (spawned immediately; its backend init IS the probe,
+    cold init ~144s on a warm host, slower on a cold one);
+  - a `nice -n 19` CPU child (spawned after PVD_BENCH_CPU_DELAY_S,
+    default 30s) that measures the clearly-labeled CPU liveness number
+    with tiny iteration counts, yielding the host CPU to the TPU child
+    whenever it is runnable.
+Adoption is lock-protected and TPU-first: once a TPU BEST line has been
+adopted the CPU child is terminated (it holds no TPU — safe to kill) and
+later CPU lines are ignored.  The TPU child is NEVER killed (killing a
+TPU client wedges the tunnel ~15 min); if it finishes after the watchdog
+it still warms the persistent cache for the next run.
 """
 
 import json
@@ -55,6 +61,8 @@ _result = {
     "vs_baseline": 0.0,
     "degraded": True,
 }
+_result_lock = threading.Lock()  # _adopt races reader threads vs watchdog
+_result_src = None  # "tpu" | "cpu"; a tpu result is never clobbered by cpu
 _printed = threading.Event()
 
 
@@ -66,7 +74,9 @@ def log(msg):
 def emit_and_exit():
     if not _printed.is_set():
         _printed.set()
-        print(json.dumps(_result), flush=True)
+        with _result_lock:  # never serialize a half-updated _adopt
+            line = json.dumps(_result)
+        print(line, flush=True)
     # hard exit: a compile may be stuck inside the tunnel; sys.exit would
     # block on it.  os._exit still closes the process cleanly enough for
     # the driver to read stdout.
@@ -301,49 +311,119 @@ def _setup_cache(jax, use_tpu: bool):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def _run_cpu_phases() -> dict:
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    _setup_cache(jax, use_tpu=False)
-    log(f"parent measuring on backend={jax.default_backend()}")
-    res = {}
+def _say(line: str):
+    """Child -> parent control line; pipe-safe.  If the parent is gone
+    (watchdog emitted and exited — BENCH_r03's BrokenPipeError) the child
+    keeps running to warm the persistent cache for the next run."""
     try:
-        run_phases(res, use_tpu=False)
-    except Exception as e:
-        log(f"CPU measurement FAILED: {type(e).__name__}: {e}")
-    res["degraded"] = True  # a CPU number is a liveness signal, not the
-    return res              # headline metric
+        print(line, flush=True)
+    except (BrokenPipeError, OSError):
+        pass
 
 
-def child_main():
-    """TPU child: its own backend init IS the probe (cold init ~144s,
-    measured 2026-08-19 — a separate probe process would pay it twice).
-    Streams INIT_OK / "BEST {json}" / DONE lines for the parent to adopt;
-    all human-readable logging goes to stderr."""
+def child_main(use_tpu: bool):
+    """Measurement child.  TPU flavor: its own backend init IS the probe
+    (cold init ~144s warm-host, measured 2026-08-19; slower cold).  CPU
+    flavor: jax_platforms pinned to cpu, tiny iteration counts, runs at
+    nice 19 so it never starves the TPU child's init/compile.  Both stream
+    INIT_OK / "BEST {json}" / DONE control lines on stdout; human-readable
+    logging goes to stderr."""
     import jax
 
-    _setup_cache(jax, use_tpu=True)
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    _setup_cache(jax, use_tpu=use_tpu)
     import jax.numpy as jnp
 
     x = jnp.ones((128, 128))
     float((x @ x).sum())
-    if jax.default_backend() != "tpu":
-        print("INIT_CPU", flush=True)  # axon absent; parent measures on CPU
+    if use_tpu and jax.default_backend() != "tpu":
+        _say("INIT_CPU")  # axon absent; the CPU child carries the result
         return
-    print("INIT_OK", flush=True)
-    log("child: tpu backend up")
-    res = {}
-    run_phases(res, use_tpu=True,
-               on_update=lambda: print("BEST " + json.dumps(res), flush=True))
-    print("DONE", flush=True)
+    _say("INIT_OK")
+    log(f"child[{'tpu' if use_tpu else 'cpu'}]: backend up "
+        f"({jax.default_backend()})")
+    res = {} if use_tpu else {"degraded": True}  # a CPU number is a
+    # liveness signal, never the headline metric
+
+    def on_update():
+        if not use_tpu:
+            res["degraded"] = True
+        _say("BEST " + json.dumps(res))
+
+    run_phases(res, use_tpu=use_tpu, on_update=on_update)
+    _say("DONE")
 
 
-def _adopt(best: dict):
-    """Replace _result's payload with `best` (drop stale optional keys)."""
-    for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline"):
-        _result.pop(k, None)
-    _result.update(best)
+def _adopt(best: dict, src: str) -> bool:
+    """Replace _result's payload with `best` (drop stale optional keys).
+    Lock-protected; a CPU result never clobbers an adopted TPU result."""
+    global _result_src
+    with _result_lock:
+        if src == "cpu" and _result_src == "tpu":
+            return False
+        for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline"):
+            _result.pop(k, None)
+        _result.update(best)
+        _result_src = src
+        return True
+
+
+def _spawn_child(kind: str):
+    """kind: 'tpu' | 'cpu'.  The CPU child runs at nice 19 (lowest
+    priority) so the TPU child's cold init / compiles always win the host
+    CPU — the BENCH_r03 failure mode was the reverse."""
+    import subprocess
+
+    argv = [sys.executable, os.path.abspath(__file__), f"--{kind}-child"]
+    if kind == "cpu":
+        argv = ["nice", "-n", "19"] + argv
+    return subprocess.Popen(argv, stdout=subprocess.PIPE, stderr=sys.stderr,
+                            text=True)
+
+
+def _reader(child, kind: str, state: dict, cpu_child_box: dict):
+    """Drain one child's stdout, adopting its BEST lines.  Per-line
+    try/except: one malformed line must not stop the drain (a full pipe
+    blocks the child mid-run)."""
+    for line in child.stdout:
+        try:
+            line = line.strip()
+            if line == "INIT_OK":
+                state[f"{kind}_init"] = True
+                log(f"{kind} child: init confirmed")
+            elif line == "INIT_CPU":
+                state[f"{kind}_init"] = False
+                log(f"{kind} child: no TPU behind the tunnel")
+            elif line.startswith("BEST "):
+                best = json.loads(line[5:])
+                if _adopt(best, kind):
+                    state[f"{kind}_best"] = best
+                    log(f"{kind} child best so far: {best.get('value')}")
+                if kind == "tpu":
+                    # a real TPU number is in hand: the CPU liveness child
+                    # is now pure contention — kill it (it holds no TPU)
+                    cc = cpu_child_box.get("proc")
+                    if cc is not None and cc.poll() is None:
+                        log("terminating CPU child (TPU result adopted)")
+                        cc.terminate()
+        except Exception as e:
+            log(f"{kind} reader: bad line ignored "
+                f"({type(e).__name__}: {e})")
+
+
+def _env_seconds(name: str, default: float) -> float:
+    """Parse a seconds override; 0 is a valid value (immediate), malformed
+    values fall back to the default instead of crashing before the
+    watchdog can protect the JSON contract."""
+    env = os.environ.get(name)
+    if env is None:
+        return default
+    try:
+        return float(env)
+    except ValueError:
+        log(f"bad {name}={env!r}; using default {default}")
+        return default
 
 
 def main():
@@ -352,67 +432,67 @@ def main():
     timer.start()
 
     if os.environ.get("PVD_FORCE_CPU"):
-        # tool-wide CPU switch; never spawns a TPU client
-        _adopt(_run_cpu_phases())
+        # tool-wide CPU switch; never spawns a TPU client.  Streams every
+        # phase improvement into _result so a watchdog fire mid-run still
+        # emits the best measured number (round-3 advisor item).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        _setup_cache(jax, use_tpu=False)
+        res = {"degraded": True}
+
+        def on_update():
+            res["degraded"] = True
+            _adopt(dict(res), "cpu")
+
+        try:
+            run_phases(res, use_tpu=False, on_update=on_update)
+        except Exception as e:
+            log(f"CPU measurement FAILED: {type(e).__name__}: {e}")
         timer.cancel()
         emit_and_exit()
 
-    import subprocess
+    cpu_delay = _env_seconds("PVD_BENCH_CPU_DELAY_S", 30.0)
+    state = {}
+    cpu_box = {}
+    tpu_child = _spawn_child("tpu")
+    threading.Thread(target=_reader, args=(tpu_child, "tpu", state, cpu_box),
+                     daemon=True).start()
 
-    child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--tpu-child"],
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
-    state = {"init": None, "best": None}
-
-    def reader():
-        for line in child.stdout:
-            line = line.strip()
-            if line == "INIT_OK":
-                state["init"] = True
-                log("child: TPU init confirmed")
-            elif line == "INIT_CPU":
-                state["init"] = False
-            elif line.startswith("BEST "):
-                state["best"] = json.loads(line[5:])
-                _adopt(state["best"])  # watchdog always emits the latest
-                log(f"child best so far: {state['best'].get('value')}")
-
-    reader_t = threading.Thread(target=reader, daemon=True)
-    reader_t.start()
-
-    # If the child shows no backend within the probe window (a wedged
-    # tunnel blocks ~25 min), measure on CPU in-process.  The child is
-    # NEVER killed (killing a TPU client wedges the tunnel); if it finishes
-    # late it still warms the persistent cache for the next run.
-    probe_s = float(os.environ.get("PVD_BENCH_PROBE_S", "0")) \
-        or min(240.0, BUDGET_S * 0.55)
-    cpu_res = None
+    cpu_reader_t = None
     t0 = time.perf_counter()
-    while child.poll() is None:
-        if (state["init"] is None and cpu_res is None
-                and time.perf_counter() - t0 >= probe_s):
-            log(f"child silent after {probe_s:.0f}s -- parent measures on "
-                "CPU (child left to finish on its own)")
-            cpu_res = _run_cpu_phases()
-            if state["best"] is None:
-                _adopt(cpu_res)
-        if state["init"] is False:
-            break  # no TPU behind the tunnel; child exits on its own
+    while True:
+        now = time.perf_counter() - t0
+        tpu_done = tpu_child.poll() is not None
+        # start the niced CPU liveness child once the delay elapses (or
+        # immediately if the TPU child reported no backend / died early),
+        # unless a TPU result already landed
+        if (cpu_box.get("proc") is None and state.get("tpu_best") is None
+                and (now >= cpu_delay or state.get("tpu_init") is False
+                     or tpu_done)):
+            log("starting niced CPU liveness child")
+            cpu_box["proc"] = _spawn_child("cpu")
+            cpu_reader_t = threading.Thread(
+                target=_reader, args=(cpu_box["proc"], "cpu", state, cpu_box),
+                daemon=True)
+            cpu_reader_t.start()
+        cpu_child = cpu_box.get("proc")
+        cpu_done = cpu_child is not None and cpu_child.poll() is not None
+        if tpu_done and state.get("tpu_best") is not None:
+            break  # TPU result in hand and its child finished
+        if tpu_done and cpu_done:
+            break  # no TPU result will come; CPU child has finished too
         time.sleep(1.0)
 
-    if child.poll() is not None:
-        reader_t.join(timeout=10.0)  # drain the child's final BEST line
-
-    if state["best"] is None and cpu_res is None:
-        # child exited with no TPU (or crashed before any phase)
-        cpu_res = _run_cpu_phases()
-        _adopt(cpu_res)
+    time.sleep(2.0)  # let the reader threads drain any final BEST line
     timer.cancel()
     emit_and_exit()
 
 
 if __name__ == "__main__":
     if "--tpu-child" in sys.argv:
-        child_main()
+        child_main(use_tpu=True)
+    elif "--cpu-child" in sys.argv:
+        child_main(use_tpu=False)
     else:
         main()

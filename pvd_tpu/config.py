@@ -236,11 +236,13 @@ class PVDConfig:
     # data parallelism over the ray axis: 1 = single chip, 0 = all local
     # devices, >1 = that many devices (parallel/dp.py shard_map steps)
     n_devices: int = 1
-    # TPU extension: fuse K distillation steps into ONE lax.scan dispatch
+    # TPU extension: fuse K train steps into ONE lax.scan dispatch
     # (amortizes the ~1.2 ms/step host+tunnel overhead measured on
-    # v5e-via-axon).  Only active for single-chip distillation without
-    # --error_map; steps that straddle a stage boundary, occupancy-update
-    # tick, or VM upsample fall back to single dispatches.  0/1 = off.
+    # v5e-via-axon).  Composes with --error_map (the device-resident map
+    # rides the scan carry) and with DP meshes; only the host-batcher
+    # path (preload=False) forces single steps.  Steps that straddle a
+    # stage boundary, occupancy-update tick, or VM upsample fall back to
+    # single dispatches.  0/1 = off.
     scan_steps: int = 0
     hash_cell_levels: int = 0  # finest hashed levels in cell-packed fast mode
     hash_bake_dense: bool = False  # bake frozen-teacher dense levels into 1 row

@@ -209,13 +209,21 @@ def make_teacher_step(
     the loss-side update at utils.py:1125-1133); pass None otherwise — the
     returned emap is the updated row (or None).
 
-    scan_steps > 0 (without error map) returns instead a DEVICE-RESIDENT
-    multi-step: step(state, images_flat [B, H*W, C], idxs [K] i32,
-    poses [K,4,4], key) -> (state, logs stacked [K]) running K optimizer
-    steps in one lax.scan dispatch — same amortization as the distill scan
-    (per-call host/tunnel overhead ~1.2 ms measured on v5e-via-axon).  GT
-    pixels come from ONE flat gather over the device-resident image stack
-    per step (no per-step H*W dynamic-slice).
+    scan_steps > 0 returns instead a DEVICE-RESIDENT multi-step:
+    step(state, images_flat [B, H*W, C], idxs [K] i32, poses [K,4,4], key)
+    -> (state, logs stacked [K]) running K optimizer steps in one lax.scan
+    dispatch — same amortization as the distill scan (per-call host/tunnel
+    overhead ~1.2 ms measured on v5e-via-axon).  GT pixels come from ONE
+    flat gather over the device-resident image stack per step (no per-step
+    H*W dynamic-slice).  With use_error_map the signature gains the full
+    device-resident map: step(state, images_flat, idxs, poses,
+    emap_all [B, 128*128], key) -> (state, emap_all, logs): the map rides
+    the scan CARRY, so step j's importance draw sees step j-1's EMA cell
+    update even when both hit the same image (utils.py:353-381, 1125-1133).
+
+    RNG contract: every flavor derives step j's key as
+    fold_in(caller_key, state.step at j), so K fused steps with a constant
+    caller key reproduce K single steps BITWISE (test_trainer_features).
     """
     intr = tuple(float(v) for v in intrinsics)
 
@@ -254,30 +262,61 @@ def make_teacher_step(
                                   step=state.step + 1, ema_params=ema)
         return new_state, metrics, per_ray
 
-    if scan_steps > 0 and not use_error_map:
+    if scan_steps > 0:
         # NOTE: no donate_argnums — buffer donation through the axon
         # tunnel raises TPU InvalidArgument at execution time
-        @jax.jit
-        def step_scan(state: TrainState, images_flat, idxs, poses, key):
-            key = jax.random.fold_in(key, state.step)  # constant-key ok
-            keys = jax.random.split(key, scan_steps)
+        EC = 128 * 128  # coarse error-map cells per image (utils.py:353)
+
+        def _scan_core(state: TrainState, images_flat, idxs, poses,
+                       emap_all, key):
             HW = H * W
             C = images_flat.shape[-1]
             pixels = images_flat.reshape(-1, C)  # [B*HW, C] major split
 
-            def body(st, inp):
-                pose_i, idx_i, k = inp
+            def body(carry, inp):
+                st, em = carry
+                pose_i, idx_i = inp
+                # fold the live step counter so K fused steps == K single
+                # steps under a constant caller key (single step below)
+                k = jax.random.fold_in(key, st.step)
                 k_rays, k_bg, k_perturb = jax.random.split(k, 3)
+                row = (jax.lax.dynamic_slice(em, (idx_i, 0), (1, EC))
+                       if use_error_map else None)
                 rays = get_rays(k_rays, pose_i[None], intr, H, W,
-                                cfg.num_rays)
+                                cfg.num_rays, error_map=row)
                 pix = pixels[idx_i * HW + rays["inds"][0]]  # flat 1-D gather
-                st, metrics, _ = _core(st, rays["rays_o"][0],
-                                       rays["rays_d"][0], pix, k_bg,
-                                       k_perturb)
-                return st, metrics
+                st, metrics, per_ray = _core(st, rays["rays_o"][0],
+                                             rays["rays_d"][0], pix, k_bg,
+                                             k_perturb)
+                if use_error_map:
+                    # EMA cell update in the carry (utils.py:1125-1133);
+                    # flat 1-D scatter (2-D scatters are slower on the v5e
+                    # scatter engine, see CLAUDE.md platform facts)
+                    coarse = rays["inds_coarse"][0]
+                    upd = (0.1 * row[0, coarse]
+                           + 0.9 * jax.lax.stop_gradient(per_ray))
+                    em = (em.reshape(-1).at[idx_i * EC + coarse].set(upd)
+                          .reshape(em.shape))
+                return (st, em), metrics
 
-            state, logs = jax.lax.scan(body, state, (poses, idxs, keys))
-            return state, logs
+            (state, emap_all), logs = jax.lax.scan(
+                body, (state, emap_all), (poses, idxs))
+            return state, emap_all, logs
+
+        if use_error_map:
+            @jax.jit
+            def step_scan_emap(state, images_flat, idxs, poses, emap_all,
+                               key):
+                return _scan_core(state, images_flat, idxs, poses, emap_all,
+                                  key)
+
+            return step_scan_emap
+
+        @jax.jit
+        def step_scan(state: TrainState, images_flat, idxs, poses, key):
+            st, _, logs = _scan_core(state, images_flat, idxs, poses,
+                                     jnp.zeros((1, EC), jnp.float32), key)
+            return st, logs
 
         return step_scan
 
@@ -398,11 +437,17 @@ def make_distill_step(
     """Returns jitted step(state, params_tea, occ_tea, pose, key) for one
     distillation stage (1: features, 2: +point sigma/color, 3: +RGB).
 
-    scan_steps > 0 (without error map) returns instead a DEVICE-RESIDENT
-    multi-step: step(state, params_tea, occ_tea, poses [K,4,4], key) ->
+    scan_steps > 0 returns instead a DEVICE-RESIDENT multi-step:
+    step(state, params_tea, occ_tea, poses [K,4,4], key) ->
     (state, logs stacked [K]) running K optimizer steps in one lax.scan
     dispatch, amortizing the per-call host/tunnel overhead (~1.2 ms/step
-    measured on v5e-via-axon).
+    measured on v5e-via-axon).  Combined with use_error_map it becomes
+    step(state, params_tea, occ_tea, poses, idxs [K] i32,
+    emap_all [B, 128*128], key) -> (state, emap_all, logs): the full map
+    rides the scan carry so consecutive fused steps see each other's EMA
+    cell updates.  Every scan flavor derives step j's key as
+    fold_in(caller_key, state.step at j) — K fused steps with a constant
+    caller key reproduce K single steps bitwise.
 
     Stage-1 is disabled upstream (by the CLI) when either side is 'tensors'
     (main_distill_mutual.py:243-246); both sides of stage 1/2 share the
@@ -445,34 +490,61 @@ def make_distill_step(
         )
         return new_state, logs, per_ray
 
-    if not use_error_map:
-        if scan_steps > 0:
+    if scan_steps > 0:
+        # NOTE: no donate_argnums — buffer donation through the axon
+        # tunnel raises TPU InvalidArgument at execution time
+        EC = 128 * 128  # coarse error-map cells per pose slot
+
+        def _scan_core(state, params_tea, occ_tea, poses, idxs, emap_all,
+                       key):
             def body(carry, inp):
-                st, params_tea, occ_tea = carry
-                pose_i, k = inp
+                st, em = carry
+                pose_i, idx_i = inp
+                # fold the live step counter so K fused steps == K single
+                # steps under a constant caller key (step_fn below)
+                k = jax.random.fold_in(key, st.step)
                 k_rays, k_core = jax.random.split(k)
+                row = (jax.lax.dynamic_slice(em, (idx_i, 0), (1, EC))
+                       if use_error_map else None)
                 rays = get_rays(k_rays, pose_i[None], intr, H, W,
-                                cfg.num_rays)
-                st, logs, _ = _core(st, params_tea, occ_tea,
-                                    rays["rays_o"][0], rays["rays_d"][0],
-                                    k_core)
-                return (st, params_tea, occ_tea), logs
+                                cfg.num_rays, error_map=row)
+                st, logs, per_ray = _core(st, params_tea, occ_tea,
+                                          rays["rays_o"][0],
+                                          rays["rays_d"][0], k_core)
+                if use_error_map and stage == 3 and cfg.loss_type == "L2":
+                    # EMA cell update rides the scan carry
+                    # (distill_mutual/utils.py:1120-1130); flat 1-D scatter
+                    coarse = rays["inds_coarse"][0]
+                    upd = (0.1 * row[0, coarse]
+                           + 0.9 * jax.lax.stop_gradient(per_ray))
+                    em = (em.reshape(-1).at[idx_i * EC + coarse].set(upd)
+                          .reshape(em.shape))
+                return (st, em), logs
 
-            # NOTE: no donate_argnums — buffer donation through the axon
-            # tunnel raises TPU InvalidArgument at execution time
+            (state, emap_all), logs = jax.lax.scan(
+                body, (state, emap_all), (poses, idxs))
+            return state, emap_all, logs
+
+        if use_error_map:
             @jax.jit
-            def step_scan(state: TrainState, params_tea, occ_tea, poses, key):
-                # fold the step counter in so callers may pass a CONSTANT
-                # key (a host-side split per call is an extra device
-                # dispatch serializing against the step on the tunnel)
-                key = jax.random.fold_in(key, state.step)
-                keys = jax.random.split(key, scan_steps)
-                (state, _, _), logs = jax.lax.scan(
-                    body, (state, params_tea, occ_tea), (poses, keys))
-                return state, logs
+            def step_scan_emap(state: TrainState, params_tea, occ_tea,
+                               poses, idxs, emap_all, key):
+                return _scan_core(state, params_tea, occ_tea, poses, idxs,
+                                  emap_all, key)
 
-            return step_scan
+            return step_scan_emap
 
+        @jax.jit
+        def step_scan(state: TrainState, params_tea, occ_tea, poses, key):
+            idxs = jnp.zeros((scan_steps,), jnp.int32)
+            st, _, logs = _scan_core(state, params_tea, occ_tea, poses,
+                                     idxs, jnp.zeros((1, EC), jnp.float32),
+                                     key)
+            return st, logs
+
+        return step_scan
+
+    if not use_error_map:
         @jax.jit
         def step_fn(state: TrainState, params_tea, occ_tea, pose, key):
             # fold the step counter in so callers may pass a CONSTANT key

@@ -322,10 +322,15 @@ class Trainer:
         autotune tick (multiples of update_extra_interval), no scheduled VM
         upsample, and it fits in both the epoch and the run.  Chunks start
         only at multiples of K so they stay aligned with the tick cadence.
+
+        A device-resident error map is compatible (it rides the scan carry);
+        only the HOST-resident map of the host-batcher path (numpy — the
+        importance draw selects which pixels the host gathers) forces
+        single steps.
         """
         K = self.cfg.scan_steps
         if (K <= 1 or self.mode not in ("distill", "teacher")
-                or self.error_map is not None):
+                or isinstance(self.error_map, np.ndarray)):
             return 1
         if step % K != 0 or left_in_epoch < K or step + K > total:
             return 1
@@ -343,7 +348,8 @@ class Trainer:
 
     def _get_scan_step_fn(self, stage: int, H: int, W: int, C: int, intr,
                           K: int):
-        key = ("scan", stage, H, W, C, K)
+        emap = self.error_map is not None
+        key = ("scan", stage, H, W, C, K, emap)
         if key not in self._steps:
             if self.mesh is not None:
                 from pvd_tpu.parallel import make_dp_distill_step
@@ -352,17 +358,20 @@ class Trainer:
                     self.spec_stu, self.spec_tea, self.rspec, self.opt,
                     self.cfg, self.mesh, intr, H, W, stage=stage,
                     ema_decay=self.cfg.ema_decay, scan_steps=K,
+                    use_error_map=emap,
                 )
             else:
                 self._steps[key] = make_distill_step(
                     self.spec_stu, self.spec_tea, self.rspec, self.opt,
                     self.cfg, intr, H, W, stage=stage,
                     ema_decay=self.cfg.ema_decay, scan_steps=K,
+                    use_error_map=emap,
                 )
         return self._steps[key]
 
     def _get_scan_teacher_fn(self, H: int, W: int, C: int, intr, K: int):
-        key = ("scan_tea", H, W, C, K)
+        emap = self.error_map is not None
+        key = ("scan_tea", H, W, C, K, emap)
         if key not in self._steps:
             if self.mesh is not None:
                 from pvd_tpu.parallel import make_dp_teacher_step
@@ -371,6 +380,7 @@ class Trainer:
                     self.spec_stu, self.rspec, self.opt, self.cfg,
                     self.mesh, intr, H, W, image_channels=C,
                     ema_decay=self.cfg.ema_decay, scan_steps=K,
+                    use_error_map=emap,
                 )
             else:
                 from pvd_tpu.engine.train_steps import make_teacher_step
@@ -378,7 +388,7 @@ class Trainer:
                 self._steps[key] = make_teacher_step(
                     self.spec_stu, self.rspec, self.opt, self.cfg, intr,
                     H, W, image_channels=C, ema_decay=self.cfg.ema_decay,
-                    scan_steps=K,
+                    scan_steps=K, use_error_map=emap,
                 )
         return self._steps[key]
 
@@ -731,11 +741,19 @@ class Trainer:
                     if K > 1:
                         scan_fn = self._get_scan_teacher_fn(H, W, C, intr, K)
                         idx_k = rng_np.integers(0, len(poses), size=K)
-                        self.state, logs_k = scan_fn(
-                            self.state, images,
-                            jnp.asarray(idx_k, jnp.int32),
-                            poses[jnp.asarray(idx_k)], k_step,
-                        )
+                        if self.error_map is not None:
+                            self.state, self.error_map, logs_k = scan_fn(
+                                self.state, images,
+                                jnp.asarray(idx_k, jnp.int32),
+                                poses[jnp.asarray(idx_k)],
+                                self.error_map, k_step,
+                            )
+                        else:
+                            self.state, logs_k = scan_fn(
+                                self.state, images,
+                                jnp.asarray(idx_k, jnp.int32),
+                                poses[jnp.asarray(idx_k)], k_step,
+                            )
                         metrics = {k: v[-1] for k, v in logs_k.items()}
                         self._log_scan_chunk(logs_k, step, K, total, stage,
                                              t_start)
@@ -760,11 +778,19 @@ class Trainer:
                     if K > 1:
                         scan_fn = self._get_scan_teacher_fn(H, W, C, intr, K)
                         idx_k = rng_np.integers(0, len(poses), size=K)
-                        self.state, logs_k = scan_fn(
-                            self.state, images,
-                            jnp.asarray(idx_k, jnp.int32),
-                            poses[jnp.asarray(idx_k)], k_step,
-                        )
+                        if self.error_map is not None:
+                            self.state, self.error_map, logs_k = scan_fn(
+                                self.state, images,
+                                jnp.asarray(idx_k, jnp.int32),
+                                poses[jnp.asarray(idx_k)],
+                                self.error_map, k_step,
+                            )
+                        else:
+                            self.state, logs_k = scan_fn(
+                                self.state, images,
+                                jnp.asarray(idx_k, jnp.int32),
+                                poses[jnp.asarray(idx_k)], k_step,
+                            )
                         metrics = {k: v[-1] for k, v in logs_k.items()}
                         self._log_scan_chunk(logs_k, step, K, total, stage,
                                              t_start)
@@ -783,6 +809,32 @@ class Trainer:
                     if self.error_map is not None:
                         self.error_map = self.error_map.at[idx].set(emap)
                 else:
+                    K = self._scan_chunk_len(
+                        step, stage, total,
+                        steps_this_epoch - done_in_epoch)
+                    if K > 1:
+                        scan_fn = self._get_scan_step_fn(
+                            stage, H, W, C, intr, K)
+                        idx_k = rng_np.integers(0, len(poses), size=K)
+                        if self.error_map is not None:
+                            self.state, self.error_map, logs_k = scan_fn(
+                                self.state, self.params_tea, self.occ_tea,
+                                poses[jnp.asarray(idx_k)],
+                                jnp.asarray(idx_k, jnp.int32),
+                                self.error_map, k_step,
+                            )
+                        else:
+                            self.state, logs_k = scan_fn(
+                                self.state, self.params_tea, self.occ_tea,
+                                poses[jnp.asarray(idx_k)], k_step,
+                            )
+                        metrics = {k: v[-1] for k, v in logs_k.items()}
+                        self._log_scan_chunk(logs_k, step, K, total,
+                                             stage, t_start)
+                        self._last_metrics = metrics
+                        step += K
+                        done_in_epoch += K
+                        continue
                     if self.error_map is not None:
                         step_fn = self._get_step_fn(stage, H, W, C, intr)
                         self.state, emap, metrics = step_fn(
@@ -791,24 +843,6 @@ class Trainer:
                         )
                         self.error_map = self.error_map.at[idx].set(emap)
                     else:
-                        K = self._scan_chunk_len(
-                            step, stage, total,
-                            steps_this_epoch - done_in_epoch)
-                        if K > 1:
-                            scan_fn = self._get_scan_step_fn(
-                                stage, H, W, C, intr, K)
-                            idx_k = rng_np.integers(0, len(poses), size=K)
-                            self.state, logs_k = scan_fn(
-                                self.state, self.params_tea, self.occ_tea,
-                                poses[jnp.asarray(idx_k)], k_step,
-                            )
-                            metrics = {k: v[-1] for k, v in logs_k.items()}
-                            self._log_scan_chunk(logs_k, step, K, total,
-                                                 stage, t_start)
-                            self._last_metrics = metrics
-                            step += K
-                            done_in_epoch += K
-                            continue
                         step_fn = self._get_step_fn(stage, H, W, C, intr)
                         self.state, metrics = step_fn(
                             self.state, self.params_tea, self.occ_tea,

@@ -73,11 +73,13 @@ def make_dp_teacher_step(
     sharded over 'rays' so the EMA cell update (utils.py:1125-1133) runs
     once at the jit level over the full batch — single-chip semantics.
 
-    scan_steps > 0 (without error map) returns instead
+    scan_steps > 0 returns instead
     step(state, images_flat [B, H*W, C], idxs [K] i32, poses [K,4,4], key)
     -> (state, metrics stacked [K]): K sharded optimizer steps in one
     lax.scan dispatch (shard_map composes under scan; the psum'd grads and
-    pmean'd metrics are identical to K single dispatches).
+    pmean'd metrics are identical to K single dispatches).  Combined with
+    use_error_map the signature gains emap_all [B, 128*128] (before `key`)
+    and returns (state, emap_all, logs) — the map rides the scan carry.
     """
     intr = tuple(float(v) for v in intrinsics)
     n_dev = mesh.devices.size
@@ -146,7 +148,7 @@ def make_dp_teacher_step(
             metrics,
         )
 
-    if use_error_map:
+    if use_error_map and scan_steps == 0:
 
         @jax.jit
         def step_emap(state: TrainState, pose, image_flat, emap, key):
@@ -158,24 +160,48 @@ def make_dp_teacher_step(
 
         return step_emap
 
-    if scan_steps > 0 and not use_error_map:
+    if scan_steps > 0:
         # NOTE: no donate_argnums — buffer donation through the axon
         # tunnel raises TPU InvalidArgument at execution time
+        EC = 128 * 128
+
+        def _scan_core(state, images_flat, idxs, poses, emap_all, key):
+            def body(carry, inp):
+                st, em = carry
+                pose_i, idx_i = inp
+                # per-body fold of the live step counter (same contract as
+                # the single-chip scan: constant caller keys are fine)
+                k = jax.random.fold_in(key, st.step)
+                row = (jax.lax.dynamic_slice(em, (idx_i, 0), (1, EC))[0]
+                       if use_error_map else jnp.zeros((EC,), jnp.float32))
+                metrics, grads, coarse, per_ray = smap(
+                    st.params, st.occ, pose_i, images_flat[idx_i], row, k)
+                st, metrics = _apply(st, metrics, grads)
+                if use_error_map:
+                    # EMA cell update in the scan carry (utils.py:1125-1133)
+                    upd = 0.1 * row[coarse] + 0.9 * per_ray
+                    em = (em.reshape(-1).at[idx_i * EC + coarse].set(upd)
+                          .reshape(em.shape))
+                return (st, em), metrics
+
+            (state, emap_all), logs = jax.lax.scan(
+                body, (state, emap_all), (poses, idxs))
+            return state, emap_all, logs
+
+        if use_error_map:
+            @jax.jit
+            def step_scan_emap(state: TrainState, images_flat, idxs, poses,
+                               emap_all, key):
+                return _scan_core(state, images_flat, idxs, poses, emap_all,
+                                  key)
+
+            return step_scan_emap
+
         @jax.jit
         def step_scan(state: TrainState, images_flat, idxs, poses, key):
-            key = jax.random.fold_in(key, state.step)  # constant-key ok
-            keys = jax.random.split(key, scan_steps)
-            zero = jnp.zeros((128 * 128,), jnp.float32)
-
-            def body(st, inp):
-                pose_i, idx_i, k = inp
-                metrics, grads, _, _ = smap(
-                    st.params, st.occ, pose_i, images_flat[idx_i], zero, k)
-                st, metrics = _apply(st, metrics, grads)
-                return st, metrics
-
-            state, logs = jax.lax.scan(body, state, (poses, idxs, keys))
-            return state, logs
+            st, _, logs = _scan_core(state, images_flat, idxs, poses,
+                                     jnp.zeros((1, EC), jnp.float32), key)
+            return st, logs
 
         return step_scan
 
@@ -217,6 +243,11 @@ def make_dp_distill_step(
     importance draws and — at stage 3 with L2 loss — the sharded per-ray
     rgb losses EMA-update the sampled cells once at the jit level
     (distill_mutual/utils.py:1120-1130; same semantics as single-chip).
+
+    scan_steps > 0 fuses K sharded steps into one lax.scan dispatch
+    (same contract as train_steps.make_distill_step); combined with
+    use_error_map the signature gains idxs [K] i32 + emap_all [B, 128*128]
+    and returns (state, emap_all, logs) — the map rides the scan carry.
     """
     assert stage in (1, 2, 3)
     intr = tuple(float(v) for v in intrinsics)
@@ -269,7 +300,7 @@ def make_dp_distill_step(
             logs,
         )
 
-    if use_error_map:
+    if use_error_map and scan_steps == 0:
 
         @jax.jit
         def step_emap(state: TrainState, params_tea, occ_tea, pose, emap,
@@ -286,24 +317,51 @@ def make_dp_distill_step(
 
         return step_emap
 
-    if scan_steps > 0 and not use_error_map:
+    if scan_steps > 0:
         # same scan contract as the single-chip distill scan
-        # (train_steps.make_distill_step): K sharded steps, one dispatch
+        # (train_steps.make_distill_step): K sharded steps, one dispatch;
+        # with use_error_map the full [B, 128*128] map rides the carry
+        EC = 128 * 128
+
+        def _scan_core(state, params_tea, occ_tea, poses, idxs, emap_all,
+                       key):
+            def body(carry, inp):
+                st, em = carry
+                pose_i, idx_i = inp
+                k = jax.random.fold_in(key, st.step)  # constant-key ok
+                row = (jax.lax.dynamic_slice(em, (idx_i, 0), (1, EC))[0]
+                       if use_error_map else jnp.zeros((EC,), jnp.float32))
+                logs, grads, coarse, per_ray = smap(
+                    st.params, params_tea, st.occ, occ_tea, pose_i, row, k,
+                    st.step)
+                st, logs = _apply(st, logs, grads)
+                if (use_error_map and stage == 3
+                        and cfg.loss_type == "L2"):
+                    upd = 0.1 * row[coarse] + 0.9 * per_ray
+                    em = (em.reshape(-1).at[idx_i * EC + coarse].set(upd)
+                          .reshape(em.shape))
+                return (st, em), logs
+
+            (state, emap_all), logs = jax.lax.scan(
+                body, (state, emap_all), (poses, idxs))
+            return state, emap_all, logs
+
+        if use_error_map:
+            @jax.jit
+            def step_scan_emap(state: TrainState, params_tea, occ_tea,
+                               poses, idxs, emap_all, key):
+                return _scan_core(state, params_tea, occ_tea, poses, idxs,
+                                  emap_all, key)
+
+            return step_scan_emap
+
         @jax.jit
         def step_scan(state: TrainState, params_tea, occ_tea, poses, key):
-            key = jax.random.fold_in(key, state.step)  # constant-key ok
-            keys = jax.random.split(key, scan_steps)
-            zero = jnp.zeros((128 * 128,), jnp.float32)
-
-            def body(st, inp):
-                pose_i, k = inp
-                logs, grads, _, _ = smap(st.params, params_tea, st.occ,
-                                         occ_tea, pose_i, zero, k, st.step)
-                st, logs = _apply(st, logs, grads)
-                return st, logs
-
-            state, logs = jax.lax.scan(body, state, (poses, keys))
-            return state, logs
+            idxs = jnp.zeros((scan_steps,), jnp.int32)
+            st, _, logs = _scan_core(state, params_tea, occ_tea, poses,
+                                     idxs, jnp.zeros((1, EC), jnp.float32),
+                                     key)
+            return st, logs
 
         return step_scan
 
@@ -425,10 +483,17 @@ def make_dp_eval_renderer(spec: ModelSpec, rspec: RenderSpec, mesh: Mesh,
             if key not in _cache:
                 _cache[key] = _build(intr, H, W, spr)
             render_chunk = _cache[key]
+            # dispatch every pending chunk before touching any result,
+            # then read ALL truncation flags back in ONE stacked host
+            # readback per ladder rung — a per-chunk bool() costs the
+            # ~30 ms flat tunnel readback each (157 chunks at 800x800
+            # would be ~5 s of pure sync; same pattern as the single-chip
+            # renderer, engine/train_steps.py make_eval_renderer)
             batch = [render_chunk(params, occ, pose_j, jnp.int32(h))
                      for h in pending]
+            truncs = np.asarray(jnp.stack([t for (_, _, t) in batch]))
             retry = []
-            for h, (img, dep, trunc) in zip(pending, batch):
+            for h, (img, dep, _), trunc in zip(pending, batch, truncs):
                 if spr != ladder[-1] and bool(trunc):
                     retry.append(h)
                 else:

@@ -453,6 +453,53 @@ def test_probe_mc_march_is_conservative_superset():
     assert extra <= 0.02 * exact.size + 8 * len(o), (extra, exact.sum())
 
 
+def test_probe_mc_extra_rate_on_converged_grid():
+    """VERDICT r3 item 7: quantify the MC probe march's conservative
+    fallback (renderer.py _probe_march_occ_mc: unresolvable lattice points
+    — mip transitions inside a 4-point window, top-mip dt_max overrun —
+    are marked occupied-if-any-geometry) on a CONVERGED-like cascaded
+    grid: cascade 0 = a clustered object (thick shell + blobs, ~4%
+    occupancy), cascade 1 = a sparse far background shell (~2%).  The
+    extra samples the fallback admits must stay < 5% of the samples the
+    probe march EMITS."""
+    from pvd_tpu.render.occupancy import build_neighbor_masks_mc
+    from pvd_tpu.render.renderer import (
+        _occupancy_lookup,
+        _probe_march_occ_mc,
+        _t_lattice,
+    )
+
+    rspec, H, C, _, o, d, nears, fars = _c2_setup(n_rays=48)
+    # converged-like clustered occupancy instead of _c2_setup's uniform one
+    ax = (np.arange(H) + 0.5) / H * 2.0 - 1.0
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    g0 = (r > 0.42) & (r < 0.55)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        c = rng.uniform(-0.3, 0.3, 3)
+        g0 |= ((X - c[0]) ** 2 + (Y - c[1]) ** 2
+               + (Z - c[2]) ** 2) < rng.uniform(0.08, 0.16) ** 2
+    g1 = (r > 0.80) & (r < 0.86)  # far shell in cascade 1's frame
+    bf = np.concatenate([g0.reshape(-1), g1.reshape(-1)])
+
+    bitfield = jnp.asarray(bf)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    ts, dts = _t_lattice(nears, rspec)
+    pos = oj[:, None, :] + ts[..., None] * dj[:, None, :]
+    pos = jnp.clip(pos, -rspec.bound, rspec.bound)
+    exact = np.asarray(_occupancy_lookup(bitfield, pos, dts, rspec)
+                       & (ts < fars[:, None]))
+    masks = build_neighbor_masks_mc(bitfield, H)
+    probe = np.asarray(_probe_march_occ_mc(masks, oj, dj, ts, dts, fars,
+                                           rspec))
+    assert (exact & ~probe).sum() == 0  # still a superset
+    emitted = probe.sum()
+    extra = (probe & ~exact).sum()
+    assert emitted > 0
+    assert extra < 0.05 * emitted, (extra, emitted, extra / emitted)
+
+
 def test_probe_mc_through_render_rays():
     """render_rays on a C=2/dt_gamma>0 OccupancyState (which now carries
     7^3 masks) must produce finite images; empty grid -> pure bg."""
