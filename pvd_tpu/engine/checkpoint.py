@@ -93,14 +93,20 @@ def latest_checkpoint(path_dir: str, name: str) -> Optional[str]:
     return cands[-1] if cands else None
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, dt_gamma: float = 0.0):
+    """`dt_gamma` picks the probe-mask flavor for the rebuilt occupancy
+    state (occupancy._probe_masks): C>1 or dt_gamma>0 checkpoints get the
+    per-cascade MC masks so the probe march engages after resume (distill
+    mode never refreshes the inherited teacher grid, so a wrong flavor
+    here would silently fall back to the slow direct-lookup march)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    from pvd_tpu.render.occupancy import build_neighbor_masks, dilate_bitfield
+    from pvd_tpu.render.occupancy import _probe_masks, dilate_bitfield
 
     occ_d = payload["occ"]
     bitfield = jnp.asarray(occ_d["bitfield"])
     H = occ_d["density_grid"].shape[1]
+    C = occ_d["density_grid"].shape[0]
     occ = OccupancyState(
         density_grid=jnp.asarray(occ_d["density_grid"]),
         bitfield=bitfield,
@@ -108,7 +114,7 @@ def load_checkpoint(path: str):
             occ_d["bitfield_dilated"]
         ) if "bitfield_dilated" in occ_d else dilate_bitfield(bitfield, H),
         # derived, never persisted: rebuild from the bitfield
-        neighbor_masks=build_neighbor_masks(bitfield, H),
+        neighbor_masks=_probe_masks(bitfield, H, C, dt_gamma),
         mean_density=jnp.float32(occ_d["mean_density"]),
         iter_density=jnp.int32(occ_d["iter_density"]),
         aabb_train=jnp.asarray(occ_d["aabb_train"]),

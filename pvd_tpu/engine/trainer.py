@@ -190,7 +190,7 @@ class Trainer:
     def load_teacher(self, path: str):
         """Load a teacher checkpoint; warm-start the student from its MLP
         heads and inherit its occupancy grid (utils.py:1477-1559)."""
-        payload = ckpt.load_checkpoint(path)
+        payload = ckpt.load_checkpoint(path, dt_gamma=self.cfg.dt_gamma)
         got = tuple(payload["occ"].bitfield.shape)
         exp = tuple(self.state.occ.bitfield.shape)
         if got != exp:
@@ -222,7 +222,7 @@ class Trainer:
         self.log(f"[load_teacher] {path} (step {payload['step']})")
 
     def load_student(self, path: str):
-        payload = ckpt.load_checkpoint(path)
+        payload = ckpt.load_checkpoint(path, dt_gamma=self.cfg.dt_gamma)
         ema = None
         if self.state.ema_params is not None:
             # restore saved EMA weights; fall back to a copy of the loaded

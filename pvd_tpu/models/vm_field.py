@@ -194,11 +194,14 @@ def _plane_sample4_bwd(W, res, g):
         blk = scratch[: HW - off, k * R : (k + 1) * R]
         g_v = g_v + jnp.concatenate(
             [jnp.zeros((off, R), blk.dtype), blk], axis=0)
-    # w4 grad (dead under stop_gradient positions; pruned by XLA then)
-    rows = jnp.concatenate([i, i + 1, i + W, i + W + 1], axis=0)
-    vals = jnp.take(v, rows, axis=0, mode="clip").reshape(4, N, R)
-    g_w4 = jnp.sum(vals.astype(jnp.float32) * g[None].astype(jnp.float32),
-                   axis=-1).astype(w4.dtype)
+    # w4 cotangent: ALWAYS dead here — every caller stop-gradients the
+    # sample coordinates (module docstring), so w4 carries no grad path.
+    # Returning zeros instead of the honest re-gather saves a second
+    # 4N-row corner gather per branch in the backward (XLA did NOT prune
+    # the re-gather: the forward plane fetch traced at ~2x its cost
+    # before this).  If positions ever become trainable, restore
+    # vals = take(v, rows); g_w4 = sum(vals * g, -1).
+    g_w4 = jnp.zeros_like(w4)
     return g_v, None, g_w4
 
 

@@ -44,8 +44,16 @@ class OccupancyState:
 
 
 NEIGHBOR_RADIUS = 2  # 5^3 neighborhood -> 125 bits in 4 uint32 words
-MC_NEIGHBOR_RADIUS = 3  # 7^3 neighborhood -> 343 bits in 11 u32 (pad to 12)
-MC_WORDS = 12
+# MC masks share the 5^3 layout (radius 2, 4 words): 16B rows gather at
+# ~193M rows/s on v5e even from 4M-row tables, while the previous 7^3
+# 48B rows ran at 46M rows/s (micro-benchmarked 2026-08-19) — the march
+# probes every 3rd lattice point instead of every 4th (1 step moves
+# <= sqrt(3) cells in the selected mip's frame -> +-1 step stays within
+# floor-delta 2), which nets ~3x fewer gathered bytes.  A zero sentinel
+# row is appended so [C*H^3 + 1, 4] stays distinguishable from the
+# single-cascade [H^3, 4] flavor when C == 1.
+MC_NEIGHBOR_RADIUS = 2
+MC_WORDS = 4
 
 
 def _shifted_grid(g, axis_shifts):
@@ -98,12 +106,14 @@ def build_neighbor_masks(bitfield, H: int):
 
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks_mc(bitfield, H: int):
-    """Pack 7^3-neighborhood occupancy per cascade: [C*H^3, 12] uint32.
+    """Pack 5^3-neighborhood occupancy per cascade: [C*H^3 + 1, 4] uint32.
 
     The multi-cascade / dt_gamma>0 probe marcher's table (renderer.
-    _probe_march_occ_mc): bit (dz+3)*49+(dy+3)*7+(dx+3) of row
+    _probe_march_occ_mc): bit (dz+2)*25+(dy+2)*5+(dx+2) of row
     cas*H^3 + (x*H+y)*H+z holds cascade `cas`'s occupancy of cell
-    (x+dx, y+dy, z+dz).  343 shifted-pad passes, batched over cascades.
+    (x+dx, y+dy, z+dz) — the same layout as the single-cascade masks,
+    batched over cascades.  The final row is an all-zero sentinel so the
+    flavor stays shape-distinguishable at C == 1 (see MC_WORDS note).
     """
     C = bitfield.shape[0] // (H * H * H)
     g = bitfield.reshape(C, H, H, H)
@@ -117,7 +127,9 @@ def build_neighbor_masks_mc(bitfield, H: int):
                 w = _shifted_grid(g, (dx, dy, dz)).astype(jnp.uint32) \
                     << jnp.uint32(bit % 32)
                 words[bit // 32] = words[bit // 32] | w
-    return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [C*H^3, 12]
+    masks = jnp.stack([w.reshape(-1) for w in words], axis=-1)
+    return jnp.concatenate(
+        [masks, jnp.zeros((1, MC_WORDS), jnp.uint32)], axis=0)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -160,7 +172,8 @@ def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
     if C == 1 and rspec.dt_gamma == 0.0:
         masks = jnp.zeros((H * H * H, 4), jnp.uint32)
     else:
-        masks = jnp.zeros((C * H * H * H, MC_WORDS), jnp.uint32)
+        # +1: zero sentinel row (see build_neighbor_masks_mc)
+        masks = jnp.zeros((C * H * H * H + 1, MC_WORDS), jnp.uint32)
     return OccupancyState(
         density_grid=jnp.zeros((C, H, H, H), jnp.float32),
         bitfield=jnp.zeros((C * H * H * H,), bool),
@@ -316,7 +329,12 @@ def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
     the RenderSpec)."""
     H = state.density_grid.shape[1]
     C = state.density_grid.shape[0]
-    if state.neighbor_masks.shape[-1] == MC_WORDS:
+    assert bitfield.shape[0] == C * H * H * H, (
+        f"bitfield has {bitfield.shape[0]} cells, state expects "
+        f"{C}x{H}^3 = {C * H * H * H} (a short bitfield silently disables "
+        "the probe march and garbles cascade lookups)")
+    # MC masks carry a sentinel row: [C*H^3 + 1, 4] vs single [H^3, 4]
+    if state.neighbor_masks.shape[0] == C * H * H * H + 1:
         masks = build_neighbor_masks_mc(bitfield, H)
     else:
         masks = build_neighbor_masks(bitfield, H)

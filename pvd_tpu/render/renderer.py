@@ -215,6 +215,10 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     pos_mid = jnp.clip(pos_mid, -rspec.bound, rspec.bound)
     cell_mid = _cell_coords(pos_mid, rspec)  # [N, W, 3]
     row = (cell_mid[..., 0] * H + cell_mid[..., 1]) * H + cell_mid[..., 2]
+    # NOTE: folding dead (t >= far) windows to a duplicate row was tried
+    # and does NOT speed the gather engine up (micro-benchmarked: half-
+    # duplicate index streams gather no faster than random) — row count
+    # is what matters, so dead windows cost the same either way.
     masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0)  # [N*W, 4]
     masks = masks.reshape(N, W, 4)
 
@@ -239,29 +243,42 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
 def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
                         rspec: RenderSpec):
     """Occupancy [N, L] for multi-cascade and/or dt_gamma>0 lattices via
-    per-cascade 7^3 packed-neighborhood probes (occupancy.
-    build_neighbor_masks_mc), one gather per 4 lattice points.
+    per-cascade 5^3 packed-neighborhood probes (occupancy.
+    build_neighbor_masks_mc), one 16B gather per 3 lattice points.
 
-    Each window of 4 points probes at its second point; a fine point is
-    resolved from the probe's 343-bit mask when (a) its mip equals the
-    probe's mip and (b) its cell lies within +-3 cells of the probe cell in
-    that mip's frame.  Unresolvable points (mip transition inside the
-    window, or top-mip steps at the sqrt(3) dt_max overrun) are marked
-    occupied IF the probe's neighborhood holds any occupancy at all — a
-    conservative extra sample near geometry costs budget, while fully
-    empty neighborhoods keep the reference's sample-nothing behavior
-    (empty grid -> pure background stays exact).  The mip rule
-    (raymarching.cu:44-56) bounds dt by the selected mip's cell size
-    (x sqrt(3) at the top mip), so the 2-step max probe distance stays
-    within radius 3 except in that overrun corner.
+    Each window of 3 points probes at its middle point; a fine point is
+    resolved from the probe's 125-bit mask when (a) its mip equals the
+    probe's mip and (b) its cell lies within +-2 cells of the probe cell
+    in that mip's frame.  The mip rule (raymarching.cu:44-56) bounds a
+    step by the selected mip's cell size (x sqrt(3) at the top mip), so a
+    +-1-step point moves <= sqrt(3) cells -> floor-cell delta <= 2: every
+    same-mip point resolves exactly, including the top-mip dt_max
+    overrun.  Cross-mip points (a mip transition inside the window) get
+    an EXACT per-point lookup through a first-U-per-ray compaction (see
+    the inline note) — the march is exact up to that U budget, and errs
+    occupied (never drops) past it.
+
+    Perf note (v5e, micro-benchmarked 2026-08-19): this replaced a 7^3 /
+    stride-4 formulation whose 48B mask rows gathered at 46M rows/s from
+    the 4M-row table (32.9 ms/step traced on the cascade config); 16B
+    rows hold ~193M rows/s at any table size, so stride 3 at 1/3 the
+    bytes wins ~3x.
     """
     N, L = ts.shape
     H = rspec.grid_size
     C = rspec.cascades
-    F = 4
-    W = L // F
-    R = 3
-    side = 7
+    F = 3
+    W = -(-L // F)
+    R = 2
+    side = 5
+    pad = W * F - L
+    if pad:
+        # padded points sit past every ray's far clip -> dead below
+        big = jnp.float32(3.0e38)
+        ts = jnp.concatenate(
+            [ts, jnp.full((N, pad), big, ts.dtype)], axis=1)
+        dts = jnp.concatenate(
+            [dts, jnp.full((N, pad), 1.0, dts.dtype)], axis=1)
 
     def levels(pos, dt):
         if C == 1:
@@ -275,7 +292,7 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
         return jnp.minimum(2.0 ** level.astype(jnp.float32),
                            rspec.bound)
 
-    # probe at the second point of each window
+    # probe at the middle point of each 3-point window
     ts_p = ts[:, 1::F]  # [N, W]
     dts_p = dts[:, 1::F]
     pos_p = rays_o[:, None, :] + ts_p[..., None] * rays_d[:, None, :]
@@ -296,9 +313,15 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
                                                              None, :]
     pos = jnp.clip(pos, -rspec.bound, rspec.bound)
     lvl_k = levels(pos, dts_f)  # [N, W, F]
-    # fine cell in the PROBE's mip frame (unclipped for the reach test)
-    n_k = jnp.floor(0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H).astype(
-        jnp.int32)
+    # fine cell in the PROBE's mip frame with the EXACT lookup's clipped
+    # formula (_occupancy_lookup) — for same-mip points mb_p equals the
+    # point's own mip bound, so a resolved bit matches the direct lookup
+    # bit-for-bit (an unclipped floor here once dropped a boundary-cell
+    # sample: index H floors outside the grid while the exact path clips
+    # to H-1).  Clipping is contractive, so the +-2-cell reach bound of
+    # the 1-step window still holds on clipped cells.
+    n_k = jnp.clip((0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H)
+                   .astype(jnp.int32), 0, H - 1)
     delta = n_k - cell_p[:, :, None, :]
     inside = jnp.all((delta >= -R) & (delta <= R), axis=-1)  # [N, W, F]
     resolved = inside & (lvl_k == lvl_p[..., None])
@@ -310,10 +333,52 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     for wi in range(neighbor_masks.shape[-1]):
         word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
     occ_bit = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
-    any_geo = jnp.any(masks != 0, axis=-1)  # [N, W]
-    occ = jnp.where(resolved, occ_bit, any_geo[..., None])
-    occ = occ & (ts_f < fars[:, None, None])
-    return occ.reshape(N, L)
+
+    # Cross-mip (unresolved) points: EXACT per-point lookup.  lvl(t)
+    # changes only O(cascades) times per ray (lvl_dt is nondecreasing;
+    # |pos| along a ray has <= 3 local minima), so windows holding an
+    # unresolved point are rare (~0.4/ray measured on a converged C=2
+    # grid).  Compact the first Uw such WINDOWS per ray, gather every
+    # point of each selected window its OWN mask row (the row's center
+    # bit IS the direct-lookup bit), and fold the bits back.  Windows
+    # past the Uw budget err OCCUPIED (conservative: never drops a
+    # sample; an empty grid has far fewer than Uw transitions per ray,
+    # so empty -> pure background stays exact).  This replaced an
+    # any-geometry-of-the-probe fallback that read the WRONG CASCADE's
+    # neighborhood and could DROP a sample at a dyadic |pos| boundary.
+    Uw = 4
+    live = ts_f < fars[:, None, None]
+    unres = (~resolved) & live
+    unres_w = jnp.any(unres, axis=-1)  # [N, W]
+    pos_w, valid_w = _compact_first_k(unres_w, Uw)  # [N, Uw] window idx
+    kidx = (pos_w[..., None] * F
+            + jnp.arange(F, dtype=jnp.int32)).reshape(N, Uw * F)
+    t_u = jnp.take_along_axis(ts, kidx, axis=1)  # ts: padded [N, W*F]
+    dt_u = jnp.take_along_axis(dts, kidx, axis=1)
+    p_u = jnp.clip(rays_o[:, None, :] + t_u[..., None] * rays_d[:, None, :],
+                   -rspec.bound, rspec.bound)
+    lvl_u = levels(p_u, dt_u)
+    mb_u = mip_bound(lvl_u)[..., None]
+    n_u = jnp.clip((0.5 * (p_u / mb_u + 1.0) * H).astype(jnp.int32),
+                   0, H - 1)
+    row_u = (n_u[..., 0] * H + n_u[..., 1]) * H + n_u[..., 2] \
+        + lvl_u * (H * H * H)
+    m_u = jnp.take(neighbor_masks, row_u.reshape(-1), axis=0,
+                   mode="clip").reshape(N, Uw * F, -1)
+    center = R * (side * side + side + 1)  # delta (0,0,0) bit
+    b_u = (((m_u[..., center // 32] >> jnp.uint32(center % 32))
+            & jnp.uint32(1)).astype(bool)
+           & valid_w.repeat(F, axis=1)).reshape(N, Uw, F)
+    at_w = (jnp.arange(W, dtype=jnp.int32)[None, :, None]
+            == pos_w[:, None, :]) & valid_w[:, None, :]  # [N, W, Uw]
+    override_w = jnp.any(at_w, axis=-1)  # [N, W]
+    override_bit = jnp.any(
+        at_w[:, :, :, None] & b_u[:, None, :, :], axis=2)  # [N, W, F]
+
+    occ = jnp.where(resolved, occ_bit,
+                    jnp.where(override_w[..., None], override_bit, True))
+    occ = occ & live
+    return occ.reshape(N, W * F)[:, :L]
 
 
 def march_rays(
@@ -344,12 +409,13 @@ def march_rays(
     if perturb_key is not None:
         t0 = t0 + dt_min * jax.random.uniform(perturb_key, (N,))
 
+    n_cells = rspec.cascades * rspec.grid_size ** 3
     use_probe = neighbor_masks is not None and rspec.use_coarse_march \
-        and neighbor_masks.shape[0] > 1 and neighbor_masks.shape[-1] == 4
-    # multi-cascade / dt_gamma>0 probe path (per-cascade 7^3 masks)
+        and neighbor_masks.shape[0] == n_cells
+    # multi-cascade / dt_gamma>0 probe path (per-cascade 5^3 masks with a
+    # sentinel row: [C*H^3 + 1, 4], occupancy.build_neighbor_masks_mc)
     use_probe_mc = (not use_probe) and neighbor_masks is not None \
-        and rspec.coarse_march and neighbor_masks.shape[0] > 1 \
-        and neighbor_masks.shape[-1] != 4 and L % 4 == 0
+        and rspec.coarse_march and neighbor_masks.shape[0] == n_cells + 1
     use_coarse = (not use_probe) and (not use_probe_mc) \
         and bitfield_dilated is not None and rspec.use_coarse_march
     if use_probe:
@@ -412,6 +478,22 @@ def march_rays(
         # dominant cost — the TPU gather engine hates 2-D indices)
         t_out = (t0[:, None] + pos_c.astype(jnp.float32) * dt_min) * mask
         dt_out = jnp.where(mask, dt_min, 0.0)
+    elif use_probe_mc:
+        # ONE flat 1-D gather for t (2-D take_along_axis runs at ~89M
+        # rows/s vs ~210M flat; traced 6.7 ms/step on the cascade config);
+        # dt is an exact function of t on the _t_lattice
+        # (dt = clip(t*dt_gamma, dt_min, dt_max), see _t_lattice's scan)
+        # so it is recomputed instead of gathered
+        L_ts = ts.shape[1]
+        flat = jnp.arange(N, dtype=jnp.int32)[:, None] * L_ts + pos_c
+        t_out = ts.reshape(-1)[flat.reshape(-1)].reshape(N, S) * mask
+        if rspec.dt_gamma == 0.0:
+            dt_out = jnp.where(mask, dt_min, 0.0)
+        else:
+            dt_max = (2.0 * SQRT3 * (2 ** (rspec.cascades - 1))
+                      / rspec.grid_size)
+            dt_out = jnp.where(
+                mask, jnp.clip(t_out * rspec.dt_gamma, dt_min, dt_max), 0.0)
     else:
         t_out = jnp.take_along_axis(ts, pos_c, axis=1) * mask
         dt_out = jnp.take_along_axis(dts, pos_c, axis=1) * mask

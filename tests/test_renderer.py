@@ -423,9 +423,10 @@ def test_march_c2_dt_gamma_matches_reference_dda():
 
 
 def test_probe_mc_march_is_conservative_superset():
-    """The multi-cascade probe march (7^3 per-cascade masks) must keep
-    every sample the exact march keeps; unresolved points may add
-    conservative extras, but only a few per ray on a realistic grid."""
+    """The multi-cascade probe march (5^3 per-cascade masks + exact
+    cross-mip overrides) must keep every sample the exact march keeps —
+    and since round 4 it is EXACT up to the per-ray override budget, so
+    extras must be zero on any realistic grid."""
     from pvd_tpu.render.occupancy import build_neighbor_masks_mc
     from pvd_tpu.render.renderer import _probe_march_occ_mc, _t_lattice
 
@@ -448,9 +449,9 @@ def test_probe_mc_march_is_conservative_superset():
                                            rspec))
     # superset: the probe never drops an exact sample
     assert (exact & ~probe).sum() == 0
-    # conservative extras stay rare
+    # exact up to the cross-mip override budget -> no extras at all here
     extra = (probe & ~exact).sum()
-    assert extra <= 0.02 * exact.size + 8 * len(o), (extra, exact.sum())
+    assert extra == 0, (extra, exact.sum())
 
 
 def test_probe_mc_extra_rate_on_converged_grid():
@@ -497,7 +498,9 @@ def test_probe_mc_extra_rate_on_converged_grid():
     emitted = probe.sum()
     extra = (probe & ~exact).sum()
     assert emitted > 0
-    assert extra < 0.05 * emitted, (extra, emitted, extra / emitted)
+    # round-4 marcher resolves cross-mip points exactly (the <5% bound
+    # this test was written for is now met with zero margin)
+    assert extra == 0, (extra, emitted)
 
 
 def test_probe_mc_through_render_rays():
@@ -509,7 +512,8 @@ def test_probe_mc_through_render_rays():
     rspec, H, C, bf, o, d, nears, fars = _c2_setup()
     rspec = dataclasses.replace(rspec, samples_per_ray=8.0)
     occ = set_bitfield(init_occupancy_state(rspec), jnp.asarray(bf))
-    assert occ.neighbor_masks.shape == (C * H ** 3, 12)
+    # per-cascade 5^3 masks + the sentinel row (see occupancy.MC_WORDS)
+    assert occ.neighbor_masks.shape == (C * H ** 3 + 1, 4)
     spec = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
                      hash_desired_res=64)
     params = init_field(jax.random.PRNGKey(0), spec)

@@ -78,7 +78,13 @@ def main():
     X, Y, Z = np.meshgrid(ax3, ax3, ax3, indexing="ij")
     r = np.sqrt(X**2 + Y**2 + Z**2)
     g |= (r > 0.42) & (r < 0.5)
-    occ = set_bitfield(occ, jnp.asarray(g.reshape(-1)))
+    # cascades > 1: far shell in the outer cascade(s), like bench.py's
+    # cascaded_bitfield (passing a C=1-length bitfield here used to
+    # silently disable the MC probe path and trace the WRONG march)
+    parts = [g.reshape(-1)]
+    for _ in range(1, rspec.cascades):
+        parts.append(((r > 0.80) & (r < 0.86)).reshape(-1))
+    occ = set_bitfield(occ, jnp.asarray(np.concatenate(parts)))
 
     opt = build_optimizer(
         params_stu, label_fn=param_group_label(spec_stu),
