@@ -192,8 +192,10 @@ def _plane_sample4_bwd(W, res, g):
     g_v = scratch[:, :R]
     for k, off in ((1, 1), (2, W), (3, W + 1)):
         blk = scratch[: HW - off, k * R : (k + 1) * R]
-        g_v = g_v + jnp.concatenate(
-            [jnp.zeros((off, R), blk.dtype), blk], axis=0)
+        # jnp.pad, not concat-with-zeros: measured 1.53 vs 1.80 ms for the
+        # full bwd at N=24576 R=64 on v5e (tools/micro_plane.py) — XLA
+        # fuses the pad into the running add, the concat materialized
+        g_v = g_v + jnp.pad(blk, ((off, 0), (0, 0)))
     # w4 cotangent: ALWAYS dead here — every caller stop-gradients the
     # sample coordinates (module docstring), so w4 carries no grad path.
     # Returning zeros instead of the honest re-gather saves a second

@@ -135,6 +135,23 @@ def _t_lattice(t0, rspec: RenderSpec):
     return ts, dts
 
 
+def _dt_from_t(t, valid, rspec: RenderSpec):
+    """Step size as the exact closed form of t on the march lattice.
+
+    Every march path emits dt = clip(t*dt_gamma, dt_min, dt_max) (dt_min
+    when dt_gamma==0 — the probe paths require it via use_coarse_march).
+    Recomputing instead of gathering keeps compaction to ONE flat 1-D
+    gather of t: a [N*S, 2] (t, dt) stack+gather paid a 64x tile-padding
+    copy (minor dim 2 vs the (8,128) TPU tile; traced 0.41 ms/step).
+    """
+    dt_min = 2.0 * SQRT3 / rspec.max_steps
+    if rspec.dt_gamma == 0.0:
+        return jnp.where(valid, dt_min, 0.0)
+    dt_max = 2.0 * SQRT3 * (2 ** (rspec.cascades - 1)) / rspec.grid_size
+    return jnp.where(
+        valid, jnp.clip(t * rspec.dt_gamma, dt_min, dt_max), 0.0)
+
+
 def _occupancy_lookup(bitfield, pos, dts, rspec: RenderSpec):
     """Occupancy bit at each lattice position.
 
@@ -487,13 +504,7 @@ def march_rays(
         L_ts = ts.shape[1]
         flat = jnp.arange(N, dtype=jnp.int32)[:, None] * L_ts + pos_c
         t_out = ts.reshape(-1)[flat.reshape(-1)].reshape(N, S) * mask
-        if rspec.dt_gamma == 0.0:
-            dt_out = jnp.where(mask, dt_min, 0.0)
-        else:
-            dt_max = (2.0 * SQRT3 * (2 ** (rspec.cascades - 1))
-                      / rspec.grid_size)
-            dt_out = jnp.where(
-                mask, jnp.clip(t_out * rspec.dt_gamma, dt_min, dt_max), 0.0)
+        dt_out = _dt_from_t(t_out, mask, rspec)
     else:
         t_out = jnp.take_along_axis(ts, pos_c, axis=1) * mask
         dt_out = jnp.take_along_axis(dts, pos_c, axis=1) * mask
@@ -591,12 +602,12 @@ def render_rays(
     }
 
     if compact is not None:
-        # field query on the compacted M points only; t and dt ride along
-        # in ONE 2-wide gather
+        # field query on the compacted M points only.  Gather ONLY t (flat
+        # 1-D, full-width rows); dt is recomputed from t below — a
+        # [N*S, 2] stack+gather paid a 64x tile-padding copy (minor dim 2
+        # vs the (8,128) TPU tile; traced 0.41 ms/step as copy+gather).
         M = compact.idx.shape[0]
-        td = jnp.stack([samples.t, samples.dt], axis=-1)
-        td_c = td.reshape(-1, 2)[compact.idx]
-        t_c = td_c[:, 0]
+        t_c = samples.t.reshape(-1)[compact.idx]
         od = jnp.concatenate(
             [rays_o, rays_d, samples.t0[:, None]], axis=-1)[compact.ray_id]
         o_c, d_c, t0_c = od[:, :3], od[:, 3:6], od[:, 6]
@@ -619,7 +630,7 @@ def render_rays(
         # composite DIRECTLY on the compacted stream (segmented scan +
         # one N-row scatter-add) — the padded [N, S] block and its slow
         # >256K-row scatter-back never materialize
-        dt_c = jnp.where(compact.valid, td_c[:, 1], 0.0)
+        dt_c = _dt_from_t(t_c, compact.valid, rspec)
         # depth channel: the running real-delta sum telescopes to
         # (t + dt) - t0 (raymarching.cu:460-465) — exact, no scan
         t_cum_c = jnp.where(compact.valid, t_c + dt_c - t0_c, 0.0)

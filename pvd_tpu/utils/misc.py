@@ -29,27 +29,29 @@ def linear_to_srgb(x):
 def cpu_cache_key() -> str:
     """Host key for the XLA:CPU persistent-cache dir.
 
-    Hash the cpuinfo MODEL NAME as well as the flags line: two hosts in
-    this pool share identical flags but different models, and LLVM's
-    model-based tuning features (e.g. prefer-no-scatter) make their AOT
-    executables mutually unloadable (cpu_aot_loader E-logs + recompile) —
-    flags alone under-key the cache.
-    """
+    Hash the full identifying head of the first /proc/cpuinfo block:
+    model name + numeric family/model/stepping/microcode + flags.  Two
+    hosts in this pool shared identical model-name+flags lines yet LLVM
+    still derived different tuning features (+prefer-no-gather on one,
+    not the other — cpu_aot_loader E-logs observed 2026-08-19 loading
+    round-3 entries on the round-4 host), so the earlier name+flags key
+    under-keyed the cache; stepping/microcode are the remaining host-
+    visible discriminators."""
     import hashlib
 
-    model = flags = ""
+    keys = ("model name", "cpu family", "model\t", "model:", "stepping",
+            "microcode", "flags")
+    picked = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not model and line.startswith("model name"):
-                    model = line
-                elif not flags and line.startswith("flags"):
-                    flags = line
-                if model and flags:
-                    break
+                if not line.strip():
+                    break  # end of the first processor block
+                if any(line.startswith(k) for k in keys):
+                    picked.append(line)
     except OSError:
         return "generic"
-    return hashlib.sha1((model + flags).encode()).hexdigest()[:8]
+    return hashlib.sha1("".join(picked).encode()).hexdigest()[:8]
 
 
 def setup_jax_cache_and_platform():

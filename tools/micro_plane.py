@@ -1,0 +1,117 @@
+"""Micro-benchmark: VM plane-sample backward formulations (v5e).
+
+The tuned step spends ~3.3 ms/step at vm_field._plane_sample4 (fwd
+4-corner gather + bwd wide scatter + 3 shifted lane folds, x3 branches).
+Candidates for the bwd fold:
+  A) current: concat(zeros(off, R), scratch_blk) x3 adds
+  B) jnp.pad formulation (same math, pad instead of concat)
+  C) 2-D reshape [H, W, 4R] with 2-D pads (one fused pass?)
+  D) bf16 scratch (halve fold bytes; grads cast back to f32)
+Plus fwd reference: 4-corner gather alone.
+
+Run: python tools/micro_plane.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    H = W = 300
+    R = 64
+    N = 24576
+    HW = H * W
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((HW, R)), jnp.float32)
+    i = jnp.asarray(rng.integers(0, (H - 1) * W - 2, N), jnp.int32)
+    w4 = jnp.asarray(rng.random((4, N)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((N, R)), jnp.float32)
+
+    def timeit(name, fn, *args, iters=50):
+        f = jax.jit(fn)
+        out = f(*args)
+        ref = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).astype(
+            jnp.float32).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).astype(
+            jnp.float32).sum())
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{name:40s} {dt:8.3f} ms   (sum {ref:.1f})")
+
+    def fwd(v, i, w4):
+        rows = jnp.concatenate([i, i + 1, i + W, i + W + 1], axis=0)
+        vals = jnp.take(v, rows, axis=0, mode="clip").reshape(4, -1, R)
+        return jnp.sum(vals * w4[..., None], axis=0)
+
+    def scatter_only(i, w4, g):
+        u = w4.T[:, :, None] * g[:, None, :]
+        u_wide = u.reshape(N, 4 * R)
+        return jnp.zeros((HW, 4 * R), jnp.float32).at[i].add(
+            u_wide, mode="drop")
+
+    def bwd_A(i, w4, g):
+        scratch = scatter_only(i, w4, g)
+        g_v = scratch[:, :R]
+        for k, off in ((1, 1), (2, W), (3, W + 1)):
+            blk = scratch[: HW - off, k * R: (k + 1) * R]
+            g_v = g_v + jnp.concatenate(
+                [jnp.zeros((off, R), blk.dtype), blk], axis=0)
+        return g_v
+
+    def bwd_B(i, w4, g):
+        scratch = scatter_only(i, w4, g)
+        g_v = scratch[:, :R]
+        for k, off in ((1, 1), (2, W), (3, W + 1)):
+            blk = scratch[: HW - off, k * R: (k + 1) * R]
+            g_v = g_v + jnp.pad(blk, ((off, 0), (0, 0)))
+        return g_v
+
+    def bwd_C(i, w4, g):
+        scratch = scatter_only(i, w4, g).reshape(H, W, 4, R)
+        s0 = scratch[:, :, 0]
+        s1 = jnp.pad(scratch[:, : W - 1, 1], ((0, 0), (1, 0), (0, 0)))
+        s2 = jnp.pad(scratch[: H - 1, :, 2], ((1, 0), (0, 0), (0, 0)))
+        s3 = jnp.pad(scratch[: H - 1, : W - 1, 3],
+                     ((1, 0), (1, 0), (0, 0)))
+        return (s0 + s1 + s2 + s3).reshape(HW, R)
+
+    def bwd_D(i, w4, g):
+        u = (w4.T[:, :, None] * g[:, None, :]).astype(jnp.bfloat16)
+        u_wide = u.reshape(N, 4 * R)
+        scratch = jnp.zeros((HW, 4 * R), jnp.bfloat16).at[i].add(
+            u_wide, mode="drop")
+        g_v = scratch[:, :R].astype(jnp.float32)
+        for k, off in ((1, 1), (2, W), (3, W + 1)):
+            blk = scratch[: HW - off, k * R: (k + 1) * R]
+            g_v = g_v + jnp.pad(blk, ((off, 0), (0, 0))).astype(jnp.float32)
+        return g_v
+
+    timeit("fwd: 4-corner gather", fwd, v, i, w4)
+    timeit("bwd scatter only (no folds)", scatter_only, i, w4, g)
+    timeit("bwd A: concat-zeros folds (current)", bwd_A, i, w4, g)
+    timeit("bwd B: pad folds", bwd_B, i, w4, g)
+    timeit("bwd C: 2-D reshape + pads", bwd_C, i, w4, g)
+    timeit("bwd D: bf16 scratch + pad folds", bwd_D, i, w4, g)
+    # consistency
+    a = jax.jit(bwd_A)(i, w4, g)
+    for nm, fn in (("B", bwd_B), ("C", bwd_C)):
+        b = jax.jit(fn)(i, w4, g)
+        print(f"A vs {nm} max|d|: {float(jnp.abs(a - b).max()):.2e}")
+
+
+if __name__ == "__main__":
+    main()

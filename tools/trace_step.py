@@ -121,6 +121,7 @@ def main():
             pid_dev = e["pid"]
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    src_of = {}
     total = 0.0
     module_total = 0.0
     for e in tr["traceEvents"]:
@@ -133,6 +134,9 @@ def main():
             continue
         agg[name] += dur
         cnt[name] += 1
+        a = e.get("args") or {}
+        if "source" in a:
+            src_of[name] = a["source"].replace("/root/repo/", "")
         total += dur
     print(f"device module total: {module_total / args.iters / 1e3:.3f} "
           f"ms/step ({args.iters} steps) -> "
@@ -141,7 +145,7 @@ def main():
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]
     for name, dur in rows:
         print(f"{dur / args.iters / 1e3:8.3f} ms  x{cnt[name] // args.iters:<4d}"
-              f" {name[:100]}")
+              f" {name[:40]:40s} {src_of.get(name, '')}")
 
     # aggregate by source file:line (per-op 'source' attribute) — the
     # definitive per-subsystem breakdown
