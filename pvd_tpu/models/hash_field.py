@@ -77,11 +77,24 @@ def attach_packed(params, spec: ModelSpec):
     if spec.hash_bake_dense:
         baked, _, _ = build_baked_dense(params["encoder"], gs, dtype=dtype)
         if baked is not None:
-            return {**params, "_baked": baked}
+            return {**params, "_baked": _default_layout(baked)}
     packed, _ = build_packed_dense(params["encoder"], gs, dtype=dtype)
     if packed is None:
         return params
-    return {**params, "_packed": packed}
+    return {**params, "_packed": _default_layout(packed)}
+
+
+def _default_layout(x):
+    """Re-place a one-time-built table in the default (row-major) layout.
+
+    The bake/pack graphs commit their outputs column-major ({0,1}); the
+    per-point row gather wants row-major, so every train step paid a
+    relayout copy of the whole table first (traced: copy.619, 0.50 ms and
+    249MB accessed per step for the [389017, 80] baked table).  A host
+    round-trip re-places the buffer once, at attach time."""
+    import numpy as np
+
+    return jnp.asarray(np.asarray(x))
 
 
 def _encode(params, spec: ModelSpec, x):

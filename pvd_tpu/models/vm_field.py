@@ -171,31 +171,26 @@ def _plane_sample4_fwd(v, i, w4, W):
 
 
 def _plane_sample4_bwd(W, res, g):
-    """Table grad via ONE wide scatter + three shifted lane folds.
+    """Table grad via a dy-split 2N-row scatter + ONE shifted lane fold.
 
-    The 4 corners share the base row i, so their updates concatenate into
-    one [N, 4R] row scattered at i (32k rows of 1KB: 0.6 ms device) and
-    fold back with row shifts — vs a [4N]-row scatter (4x the rows; the
-    scatter engine charges per update row).  The w4 cotangent re-gathers
-    vals; when positions are stop_gradient (every caller here) that branch
-    is dead and XLA prunes the re-gather.
+    The two dx-corners of each dy row pack into one [N, 2R] update (2R=128
+    = exactly one TPU lane register), scattered at rows i (dy=0) and i+W
+    (dy=1) in a single 2N-row call; the dx=1 half then folds back with one
+    off=1 row shift.  tools/micro_plane.py on v5e (N=24576, R=64):
+    1.225 ms vs 1.540 for the previous [N, 4R]-wide N-row scatter + three
+    shifted folds — the off=1 / off=W+1 folds on an R=64-minor array are
+    lane rotations (half a register), which cost more than the extra N
+    update rows.  Exact (max|d| 1e-6 vs the 4-fold form).
     """
     v, i, w4 = res
     HW, R = v.shape
-    N = i.shape[0]
     g = g.astype(v.dtype)
-    # build updates directly in [N, 4, R] so the reshape to [N, 4R] is a
-    # pure major-dim split (moveaxis from [4, N, R] forced a relayout copy)
-    u = w4.T[:, :, None].astype(v.dtype) * g[:, None, :]  # [N, 4, R]
-    u_wide = u.reshape(N, 4 * R)
-    scratch = jnp.zeros((HW, 4 * R), v.dtype).at[i].add(u_wide, mode="drop")
-    g_v = scratch[:, :R]
-    for k, off in ((1, 1), (2, W), (3, W + 1)):
-        blk = scratch[: HW - off, k * R : (k + 1) * R]
-        # jnp.pad, not concat-with-zeros: measured 1.53 vs 1.80 ms for the
-        # full bwd at N=24576 R=64 on v5e (tools/micro_plane.py) — XLA
-        # fuses the pad into the running add, the concat materialized
-        g_v = g_v + jnp.pad(blk, ((off, 0), (0, 0)))
+    u0 = jnp.concatenate([w4[0][:, None] * g, w4[1][:, None] * g], axis=1)
+    u1 = jnp.concatenate([w4[2][:, None] * g, w4[3][:, None] * g], axis=1)
+    rows = jnp.concatenate([i, i + W], axis=0)
+    u = jnp.concatenate([u0, u1], axis=0)  # [2N, 2R]
+    scratch = jnp.zeros((HW, 2 * R), v.dtype).at[rows].add(u, mode="drop")
+    g_v = scratch[:, :R] + jnp.pad(scratch[: HW - 1, R:], ((1, 0), (0, 0)))
     # w4 cotangent: ALWAYS dead here — every caller stop-gradients the
     # sample coordinates (module docstring), so w4 carries no grad path.
     # Returning zeros instead of the honest re-gather saves a second
