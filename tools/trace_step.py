@@ -133,6 +133,8 @@ def main():
         if name.startswith("jit_"):
             module_total += dur
             continue
+        if name.isdigit():  # "Steps"-thread step markers, not ops
+            continue
         agg[name] += dur
         cnt[name] += 1
         a = e.get("args") or {}
