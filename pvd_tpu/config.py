@@ -110,10 +110,11 @@ class RenderSpec:
     bg_radius: float = -1.0
     # probe marching (single-cascade, dt_gamma==0): ONE packed-neighborhood
     # gather per `probe_stride` lattice points resolves the exact occupancy
-    # of the whole window (the 5^3-bit masks in OccupancyState); stride is
-    # auto-clamped so a window never leaves the probe's +-2-cell reach
+    # of the whole window (the 9^3-bit masks in OccupancyState); stride is
+    # auto-clamped so a window never leaves the probe's +-R-cell reach
+    # (R = occupancy.NEIGHBOR_RADIUS)
     coarse_march: bool = True
-    probe_stride: int = 16
+    probe_stride: int = 32
     # legacy two-stage dilated path (multi-cascade fallback)
     coarse_stride: int = 8
     # global valid-sample compaction: field networks run on the first
@@ -135,14 +136,18 @@ class RenderSpec:
     @property
     def effective_probe_stride(self) -> int:
         """Largest power-of-two stride <= probe_stride whose window half-span
-        (stride/2 * dt_min) stays within the 2-cell neighbor-mask reach."""
+        (stride/2 * dt_min) stays within the R-cell neighbor-mask reach
+        (R = occupancy.NEIGHBOR_RADIUS; |a-b| <= R cells exactly bounds the
+        floor-cell delta by R since R is an integer)."""
+        from pvd_tpu.render.occupancy import NEIGHBOR_RADIUS
+
         dt_min = 2.0 * math.sqrt(3.0) / self.max_steps
         cell = 2.0 * min(1.0, self.bound) / self.grid_size
         f = 1
         while (
             f * 2 <= self.probe_stride
             and f * 2 <= self.max_steps
-            and (f * 2) / 2.0 * dt_min <= 2.0 * cell
+            and (f * 2) / 2.0 * dt_min <= NEIGHBOR_RADIUS * cell
             and self.max_steps % (f * 2) == 0
         ):
             f *= 2

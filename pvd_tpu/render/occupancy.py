@@ -32,10 +32,12 @@ class OccupancyState:
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 marks untrained cells
     bitfield: jnp.ndarray  # [CAS * H^3] bool, flat row-major
     bitfield_dilated: jnp.ndarray  # [CAS * H^3] bool, 2-cell max-dilation
-    # [H^3, 4] uint32 (single-cascade scenes; [1, 4] zeros otherwise): bit
-    # (dz+2)*25+(dy+2)*5+(dx+2) of row (x*H+y)*H+z holds the occupancy of
-    # cell (x+dx, y+dy, z+dz) — ONE gather resolves a whole 5^3 neighborhood
-    # for the probe-based marcher (renderer.march_rays)
+    # [H^3, NB_WORDS] uint32 (single-cascade) or [C*H^3 + 1, MC_WORDS]
+    # (multi-cascade/dt_gamma>0, zero sentinel row appended): bit
+    # (dz+R)*side^2+(dy+R)*side+(dx+R) of row (x*H+y)*H+z holds the
+    # occupancy of cell (x+dx, y+dy, z+dz) — ONE gather resolves a whole
+    # (2R+1)^3 neighborhood for the probe-based marcher
+    # (renderer.march_rays)
     neighbor_masks: jnp.ndarray
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
@@ -43,17 +45,23 @@ class OccupancyState:
     aabb_infer: jnp.ndarray  # [6]
 
 
-NEIGHBOR_RADIUS = 2  # 5^3 neighborhood -> 125 bits in 4 uint32 words
-# MC masks share the 5^3 layout (radius 2, 4 words): 16B rows gather at
-# ~193M rows/s on v5e even from 4M-row tables, while the previous 7^3
-# 48B rows ran at 46M rows/s (micro-benchmarked 2026-08-19) — the march
-# probes every 3rd lattice point instead of every 4th (1 step moves
-# <= sqrt(3) cells in the selected mip's frame -> +-1 step stays within
-# floor-delta 2), which nets ~3x fewer gathered bytes.  A zero sentinel
-# row is appended so [C*H^3 + 1, 4] stays distinguishable from the
-# single-cascade [H^3, 4] flavor when C == 1.
-MC_NEIGHBOR_RADIUS = 2
-MC_WORDS = 4
+# Probe-mask geometry.  Radius 4 (9^3 = 729 bits) packs into 23 uint32
+# words, PADDED to 32 (128B power-of-2 rows): the v5e gather engine runs
+# power-of-2 row widths 16B-256B at the full ~193-210M rows/s even from
+# 4M-row tables, while a non-power-of-2 48B row measured 46M rows/s
+# (micro-benchmarked 2026-08-19).  Rows are charged per ROW, not per
+# byte, so widening the neighborhood from 5^3 (radius 2) to 9^3 cuts
+# gathered rows ~2x at the same per-row cost:
+#  - single-cascade probe march: stride clamps at half-span <= R cells
+#    -> stride 32 instead of 16 at the default 1024-step lattice;
+#  - MC march: 1 step moves <= sqrt(3) cells in the selected mip's frame
+#    (raymarching.cu:44-56 bounds dt by the mip cell, x sqrt(3) at the
+#    top mip), so +-2 steps stay within floor-delta 4 -> a 5-point
+#    window per probe instead of 3.
+NEIGHBOR_RADIUS = 4
+NB_WORDS = 32
+MC_NEIGHBOR_RADIUS = 4
+MC_WORDS = 32
 
 
 def _shifted_grid(g, axis_shifts):
@@ -78,38 +86,84 @@ def _shifted_grid(g, axis_shifts):
     return out
 
 
+def _pack_neighborhood(g, R: int, nwords: int):
+    """Pack each cell's (2R+1)^3-neighborhood occupancy into uint32 words.
+
+    g: bool [..., X, Y, Z]; returns uint32 [..., X, Y, Z, nwords] where
+    bit (dz+R)*side^2+(dy+R)*side+(dx+R) of cell (x,y,z) holds
+    g[x+dx, y+dy, z+dz] (zero outside).
+
+    Built SEPARABLY — x-strips (side shift-ORs on the bool grid), then
+    y-planes (side shifted word placements), then z-rows (side x
+    plane-words placements) — ~3(2R+1) + (2R+1)*ceil(side^2/32) word
+    passes instead of the (2R+1)^3 single-bit passes of the naive
+    builder: ~70 vs 729 at R=4.  Pure VPU work, paid only at occupancy
+    updates.
+    """
+    side = 2 * R + 1
+    assert side <= 32, "x-strip must fit one uint32 word"
+
+    def _or(acc, v):
+        return v if acc is None else acc | v
+
+    # x-strips: bits (dx+R) in one word
+    s = None
+    for dx in range(-R, R + 1):
+        t = _shifted_grid(g, (dx, 0, 0)).astype(jnp.uint32)
+        s = _or(s, t << jnp.uint32(dx + R))
+    # y-planes: side strips at side-bit offsets -> side^2 bits
+    # (a spilled strip's top bit stays < side^2, so no plane word past
+    # index nwp-1 is ever written — same argument one level up for rows)
+    nwp = (side * side + 31) // 32
+    planes = [None] * nwp
+    for dy in range(-R, R + 1):
+        off = (dy + R) * side
+        w, sh = off // 32, off % 32
+        t = _shifted_grid(s, (0, dy, 0))
+        planes[w] = _or(planes[w], t << jnp.uint32(sh) if sh else t)
+        if sh and sh + side > 32:
+            planes[w + 1] = _or(planes[w + 1], t >> jnp.uint32(32 - sh))
+    # z-rows: side planes at side^2-bit offsets -> side^3 bits
+    words = [None] * nwords
+    for dz in range(-R, R + 1):
+        off_z = (dz + R) * side * side
+        for j in range(nwp):
+            if planes[j] is None:
+                continue
+            t = _shifted_grid(planes[j], (0, 0, dz))
+            o = off_z + 32 * j
+            w, sh = o // 32, o % 32
+            used = min(32, side * side - 32 * j)
+            words[w] = _or(words[w], t << jnp.uint32(sh) if sh else t)
+            if sh and sh + used > 32:
+                words[w + 1] = _or(words[w + 1], t >> jnp.uint32(32 - sh))
+    zero = jnp.zeros(g.shape, jnp.uint32)
+    return jnp.stack([zero if w is None else w for w in words], axis=-1)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks(bitfield, H: int):
-    """Pack each cell's 5^3-neighborhood occupancy into 4 uint32 words.
+    """Pack each cell's 9^3-neighborhood occupancy into NB_WORDS uint32.
 
     Single-cascade only (the exact probe marcher's domain); multi-cascade
-    scenes get a [1, 4] zero placeholder.  Built with 125 shifted-pad passes
-    over the bool grid — pure VPU work, paid only at occupancy updates.
-    Jitted: eagerly these ~375 primitives each pay their own
+    scenes get a [1, NB_WORDS] zero placeholder.  Jitted: eagerly the
+    separable packer's ~200 primitives each pay their own
     dispatch/compile through a remote-TPU tunnel.
     """
     C = bitfield.shape[0] // (H * H * H)
     if C != 1:
-        return jnp.zeros((1, 4), jnp.uint32)
+        return jnp.zeros((1, NB_WORDS), jnp.uint32)
     g = bitfield.reshape(H, H, H)
-    R = NEIGHBOR_RADIUS
-    words = [jnp.zeros((H, H, H), jnp.uint32) for _ in range(4)]
-    for dx in range(-R, R + 1):
-        for dy in range(-R, R + 1):
-            for dz in range(-R, R + 1):
-                bit = (dz + R) * 25 + (dy + R) * 5 + (dx + R)
-                w = _shifted_grid(g, (dx, dy, dz)).astype(jnp.uint32) \
-                    << jnp.uint32(bit % 32)
-                words[bit // 32] = words[bit // 32] | w
-    return jnp.stack([w.reshape(-1) for w in words], axis=-1)  # [H^3, 4]
+    return _pack_neighborhood(g, NEIGHBOR_RADIUS, NB_WORDS).reshape(
+        H * H * H, NB_WORDS)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks_mc(bitfield, H: int):
-    """Pack 5^3-neighborhood occupancy per cascade: [C*H^3 + 1, 4] uint32.
+    """Pack 9^3-neighborhood occupancy per cascade: [C*H^3+1, MC_WORDS].
 
     The multi-cascade / dt_gamma>0 probe marcher's table (renderer.
-    _probe_march_occ_mc): bit (dz+2)*25+(dy+2)*5+(dx+2) of row
+    _probe_march_occ_mc): bit (dz+R)*side^2+(dy+R)*side+(dx+R) of row
     cas*H^3 + (x*H+y)*H+z holds cascade `cas`'s occupancy of cell
     (x+dx, y+dy, z+dz) — the same layout as the single-cascade masks,
     batched over cascades.  The final row is an all-zero sentinel so the
@@ -117,17 +171,8 @@ def build_neighbor_masks_mc(bitfield, H: int):
     """
     C = bitfield.shape[0] // (H * H * H)
     g = bitfield.reshape(C, H, H, H)
-    R = MC_NEIGHBOR_RADIUS
-    side = 2 * R + 1
-    words = [jnp.zeros((C, H, H, H), jnp.uint32) for _ in range(MC_WORDS)]
-    for dx in range(-R, R + 1):
-        for dy in range(-R, R + 1):
-            for dz in range(-R, R + 1):
-                bit = (dz + R) * side * side + (dy + R) * side + (dx + R)
-                w = _shifted_grid(g, (dx, dy, dz)).astype(jnp.uint32) \
-                    << jnp.uint32(bit % 32)
-                words[bit // 32] = words[bit // 32] | w
-    masks = jnp.stack([w.reshape(-1) for w in words], axis=-1)
+    masks = _pack_neighborhood(g, MC_NEIGHBOR_RADIUS, MC_WORDS).reshape(
+        C * H * H * H, MC_WORDS)
     return jnp.concatenate(
         [masks, jnp.zeros((1, MC_WORDS), jnp.uint32)], axis=0)
 
@@ -158,8 +203,8 @@ def dilate_bitfield(bitfield, H: int, radius: int = 2):
 
 
 def _probe_masks(bitfield, H: int, C: int, dt_gamma: float):
-    """Choose the probe-mask flavor for the config: exact 5^3 single-mask
-    (single cascade, dt_gamma==0) or per-cascade 7^3 masks otherwise."""
+    """Choose the probe-mask flavor for the config: single-grid 9^3 masks
+    (single cascade, dt_gamma==0) or per-cascade 9^3 masks otherwise."""
     if C == 1 and dt_gamma == 0.0:
         return build_neighbor_masks(bitfield, H)
     return build_neighbor_masks_mc(bitfield, H)
@@ -170,7 +215,7 @@ def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
     b = rspec.bound
     aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
     if C == 1 and rspec.dt_gamma == 0.0:
-        masks = jnp.zeros((H * H * H, 4), jnp.uint32)
+        masks = jnp.zeros((H * H * H, NB_WORDS), jnp.uint32)
     else:
         # +1: zero sentinel row (see build_neighbor_masks_mc)
         masks = jnp.zeros((C * H * H * H + 1, MC_WORDS), jnp.uint32)
@@ -333,7 +378,7 @@ def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
         f"bitfield has {bitfield.shape[0]} cells, state expects "
         f"{C}x{H}^3 = {C * H * H * H} (a short bitfield silently disables "
         "the probe march and garbles cascade lookups)")
-    # MC masks carry a sentinel row: [C*H^3 + 1, 4] vs single [H^3, 4]
+    # MC masks carry a sentinel row: [C*H^3 + 1, W] vs single [H^3, W]
     if state.neighbor_masks.shape[0] == C * H * H * H + 1:
         masks = build_neighbor_masks_mc(bitfield, H)
     else:

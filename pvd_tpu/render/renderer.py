@@ -210,19 +210,22 @@ def _cell_coords(pos, rspec: RenderSpec):
 def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
                      rspec: RenderSpec):
     """Exact per-lattice-point occupancy [N, L] via packed-neighborhood
-    probes: ONE uint32x4 gather per `probe_stride` lattice points.
+    probes: ONE mask-row gather per `probe_stride` lattice points.
 
     Replaces both stages of the old dilated two-pass march: every fine
-    point of a stride-F window lies within +-2 cells of the window-center
+    point of a stride-F window lies within +-R cells of the window-center
     probe (F is clamped to guarantee this, RenderSpec.effective_probe_stride),
-    so the probe's 5^3-bit mask resolves all F points exactly — the same
-    bits a direct bitfield lookup would read, at 1/F the gather rows.
+    so the probe's (2R+1)^3-bit mask resolves all F points exactly — the
+    same bits a direct bitfield lookup would read, at 1/F the gather rows.
     """
+    from pvd_tpu.render.occupancy import NEIGHBOR_RADIUS as R
+
     N = rays_o.shape[0]
     L = rspec.max_steps
     H = rspec.grid_size
     F = rspec.effective_probe_stride
     W = L // F
+    side = 2 * R + 1
     dt_min = 2.0 * SQRT3 / rspec.max_steps
 
     # probe at each window's center lattice point
@@ -236,8 +239,8 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     # and does NOT speed the gather engine up (micro-benchmarked: half-
     # duplicate index streams gather no faster than random) — row count
     # is what matters, so dead windows cost the same either way.
-    masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0)  # [N*W, 4]
-    masks = masks.reshape(N, W, 4)
+    masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0)  # [N*W, nw]
+    masks = masks.reshape(N, W, neighbor_masks.shape[-1])
 
     # fine points: cell delta from the probe cell selects a mask bit
     k_all = jnp.arange(L, dtype=jnp.float32).reshape(W, F)
@@ -245,12 +248,12 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     pos = rays_o[:, None, None, :] + ts[..., None] * rays_d[:, None, None, :]
     pos = jnp.clip(pos, -rspec.bound, rspec.bound)
     cell = _cell_coords(pos, rspec)  # [N, W, F, 3]
-    delta = jnp.clip(cell - cell_mid[:, :, None, :], -2, 2) + 2
-    bit = (delta[..., 2] * 25 + delta[..., 1] * 5 + delta[..., 0])  # [N,W,F]
+    delta = jnp.clip(cell - cell_mid[:, :, None, :], -R, R) + R
+    bit = (delta[..., 2] * side + delta[..., 1]) * side + delta[..., 0]
     word_i = bit // 32
     bit_i = (bit % 32).astype(jnp.uint32)
     word = jnp.zeros(bit.shape, jnp.uint32)
-    for wi in range(4):
+    for wi in range((side ** 3 + 31) // 32):
         word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
     occ = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
     occ = occ & (ts < fars[:, None, None])
@@ -260,34 +263,37 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
 def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
                         rspec: RenderSpec):
     """Occupancy [N, L] for multi-cascade and/or dt_gamma>0 lattices via
-    per-cascade 5^3 packed-neighborhood probes (occupancy.
-    build_neighbor_masks_mc), one 16B gather per 3 lattice points.
+    per-cascade 9^3 packed-neighborhood probes (occupancy.
+    build_neighbor_masks_mc), one mask-row gather per 5 lattice points.
 
-    Each window of 3 points probes at its middle point; a fine point is
-    resolved from the probe's 125-bit mask when (a) its mip equals the
-    probe's mip and (b) its cell lies within +-2 cells of the probe cell
+    Each window of 5 points probes at its middle point; a fine point is
+    resolved from the probe's 729-bit mask when (a) its mip equals the
+    probe's mip and (b) its cell lies within +-4 cells of the probe cell
     in that mip's frame.  The mip rule (raymarching.cu:44-56) bounds a
     step by the selected mip's cell size (x sqrt(3) at the top mip), so a
-    +-1-step point moves <= sqrt(3) cells -> floor-cell delta <= 2: every
-    same-mip point resolves exactly, including the top-mip dt_max
+    +-2-step point moves <= 2*sqrt(3) cells -> floor-cell delta <= 4:
+    every same-mip point resolves exactly, including the top-mip dt_max
     overrun.  Cross-mip points (a mip transition inside the window) get
     an EXACT per-point lookup through a first-U-per-ray compaction (see
     the inline note) — the march is exact up to that U budget, and errs
     occupied (never drops) past it.
 
-    Perf note (v5e, micro-benchmarked 2026-08-19): this replaced a 7^3 /
-    stride-4 formulation whose 48B mask rows gathered at 46M rows/s from
-    the 4M-row table (32.9 ms/step traced on the cascade config); 16B
-    rows hold ~193M rows/s at any table size, so stride 3 at 1/3 the
-    bytes wins ~3x.
+    Perf note (v5e, micro-benchmarked 2026-08-19): the gather engine
+    charges per ROW for power-of-2 row widths 16B-256B (~193-210M
+    rows/s even from 4M-row tables) but collapsed to 46M rows/s on a
+    non-power-of-2 48B row — hence 9^3 masks padded to 128B rows and a
+    5-point window: ~2x fewer gathered rows than the 5^3/stride-3
+    formulation this replaces (which itself beat a 7^3/48B/stride-4
+    variant 3x).
     """
+    from pvd_tpu.render.occupancy import MC_NEIGHBOR_RADIUS as R
+
     N, L = ts.shape
     H = rspec.grid_size
     C = rspec.cascades
-    F = 3
+    F = 2 * (R // 2) + 1
     W = -(-L // F)
-    R = 2
-    side = 5
+    side = 2 * R + 1
     pad = W * F - L
     if pad:
         # padded points sit past every ray's far clip -> dead below
@@ -309,9 +315,9 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
         return jnp.minimum(2.0 ** level.astype(jnp.float32),
                            rspec.bound)
 
-    # probe at the middle point of each 3-point window
-    ts_p = ts[:, 1::F]  # [N, W]
-    dts_p = dts[:, 1::F]
+    # probe at the middle point of each F-point window
+    ts_p = ts[:, F // 2::F]  # [N, W]
+    dts_p = dts[:, F // 2::F]
     pos_p = rays_o[:, None, :] + ts_p[..., None] * rays_d[:, None, :]
     pos_p = jnp.clip(pos_p, -rspec.bound, rspec.bound)
     lvl_p = levels(pos_p, dts_p)  # [N, W]
@@ -335,8 +341,8 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # point's own mip bound, so a resolved bit matches the direct lookup
     # bit-for-bit (an unclipped floor here once dropped a boundary-cell
     # sample: index H floors outside the grid while the exact path clips
-    # to H-1).  Clipping is contractive, so the +-2-cell reach bound of
-    # the 1-step window still holds on clipped cells.
+    # to H-1).  Clipping is contractive, so the +-R-cell reach bound of
+    # the +-(F//2)-step window still holds on clipped cells.
     n_k = jnp.clip((0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H)
                    .astype(jnp.int32), 0, H - 1)
     delta = n_k - cell_p[:, :, None, :]
@@ -347,7 +353,7 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     word_i = bit // 32
     bit_i = (bit % 32).astype(jnp.uint32)
     word = jnp.zeros(bit.shape, jnp.uint32)
-    for wi in range(neighbor_masks.shape[-1]):
+    for wi in range((side ** 3 + 31) // 32):  # used words only (pad skipped)
         word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
     occ_bit = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
 
@@ -370,8 +376,15 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     pos_w, valid_w = _compact_first_k(unres_w, Uw)  # [N, Uw] window idx
     kidx = (pos_w[..., None] * F
             + jnp.arange(F, dtype=jnp.int32)).reshape(N, Uw * F)
-    t_u = jnp.take_along_axis(ts, kidx, axis=1)  # ts: padded [N, W*F]
-    dt_u = jnp.take_along_axis(dts, kidx, axis=1)
+    # flat 1-D gather of t only (~210M rows/s vs take_along_axis ~89M);
+    # dt is the exact closed form of t on the lattice (_dt_from_t).  For
+    # the padded tail (t=3e38, stored dt=1.0) the recomputed dt_max
+    # differs from the stored value, but those points sit past every far
+    # clip AND past index L, so their override bits are discarded by the
+    # final [:, :L] slice either way.
+    flat_u = jnp.arange(N, dtype=jnp.int32)[:, None] * ts.shape[1] + kidx
+    t_u = ts.reshape(-1)[flat_u.reshape(-1)].reshape(N, Uw * F)
+    dt_u = _dt_from_t(t_u, jnp.bool_(True), rspec)
     p_u = jnp.clip(rays_o[:, None, :] + t_u[..., None] * rays_d[:, None, :],
                    -rspec.bound, rspec.bound)
     lvl_u = levels(p_u, dt_u)

@@ -505,15 +505,17 @@ def test_probe_mc_extra_rate_on_converged_grid():
 
 def test_probe_mc_through_render_rays():
     """render_rays on a C=2/dt_gamma>0 OccupancyState (which now carries
-    7^3 masks) must produce finite images; empty grid -> pure bg."""
+    9^3 masks) must produce finite images; empty grid -> pure bg."""
     from pvd_tpu.render import init_occupancy_state
     from pvd_tpu.render.occupancy import set_bitfield
 
     rspec, H, C, bf, o, d, nears, fars = _c2_setup()
     rspec = dataclasses.replace(rspec, samples_per_ray=8.0)
     occ = set_bitfield(init_occupancy_state(rspec), jnp.asarray(bf))
-    # per-cascade 5^3 masks + the sentinel row (see occupancy.MC_WORDS)
-    assert occ.neighbor_masks.shape == (C * H ** 3 + 1, 4)
+    # per-cascade 9^3 masks + the sentinel row (see occupancy.MC_WORDS)
+    from pvd_tpu.render.occupancy import MC_WORDS
+
+    assert occ.neighbor_masks.shape == (C * H ** 3 + 1, MC_WORDS)
     spec = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
                      hash_desired_res=64)
     params = init_field(jax.random.PRNGKey(0), spec)
@@ -528,3 +530,35 @@ def test_probe_mc_through_render_rays():
                        jnp.asarray(d), training=False, bg_color=1.0,
                        early_stop=True)
     np.testing.assert_allclose(np.asarray(out0["image"]), 1.0, atol=1e-5)
+
+
+def test_pack_neighborhood_matches_bruteforce():
+    """The separable neighborhood packer (x-strips -> y-planes -> z-rows,
+    occupancy._pack_neighborhood) is bit-identical to the brute-force
+    definition: bit (dz+R)*side^2+(dy+R)*side+(dx+R) of cell (x,y,z) is
+    g[x+dx, y+dy, z+dz] (zero outside), incl. leading cascade dims and
+    word padding."""
+    from pvd_tpu.render.occupancy import (
+        MC_NEIGHBOR_RADIUS,
+        MC_WORDS,
+        _pack_neighborhood,
+    )
+
+    rng = np.random.default_rng(0)
+    for R, nwords in ((2, 4), (MC_NEIGHBOR_RADIUS, MC_WORDS)):
+        side = 2 * R + 1
+        H = 12
+        g = rng.random((2, H, H, H)) < 0.3
+        out = np.asarray(_pack_neighborhood(jnp.asarray(g), R, nwords))
+        exp = np.zeros((2, H, H, H, nwords), np.uint32)
+        gp = np.zeros((2, H + 2 * R, H + 2 * R, H + 2 * R), bool)
+        gp[:, R:H + R, R:H + R, R:H + R] = g
+        for dz in range(-R, R + 1):
+            for dy in range(-R, R + 1):
+                for dx in range(-R, R + 1):
+                    bit = (dz + R) * side * side + (dy + R) * side + (dx + R)
+                    v = gp[:, R + dx:H + R + dx, R + dy:H + R + dy,
+                           R + dz:H + R + dz]
+                    exp[..., bit // 32] |= (
+                        v.astype(np.uint32) << np.uint32(bit % 32))
+        assert (out == exp).all(), f"packer mismatch at R={R}"
