@@ -130,7 +130,11 @@ def _t_lattice(t0, rspec: RenderSpec):
             dt = jnp.clip(t * rspec.dt_gamma, dt_min, dt_max)
             return t + dt, (t, dt)
 
-        _, (ts, dts) = lax.scan(step, t0, None, length=L)
+        # unroll: the L-iteration scan is a sequential device loop
+        # (traced 0.77 ms at L=1024 plus 0.34 ms of per-step
+        # dynamic_update_slice); unrolling batches the carry writes
+        # without changing a single bit of the recurrence
+        _, (ts, dts) = lax.scan(step, t0, None, length=L, unroll=16)
         ts, dts = ts.T, dts.T
     return ts, dts
 
