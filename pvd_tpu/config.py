@@ -136,10 +136,10 @@ class RenderSpec:
     @property
     def effective_probe_stride(self) -> int:
         """Largest power-of-two stride <= probe_stride whose window half-span
-        (stride/2 * dt_min) stays within the R-cell neighbor-mask reach
-        (R = occupancy.NEIGHBOR_RADIUS; |a-b| <= R cells exactly bounds the
-        floor-cell delta by R since R is an integer)."""
-        from pvd_tpu.render.occupancy import NEIGHBOR_RADIUS
+        (stride/2 * dt_min) stays within the D-cell supercell-apron reach
+        (D = occupancy.SUPER_D; |a-b| <= D cells exactly bounds the
+        floor-cell delta by D since D is an integer)."""
+        from pvd_tpu.render.occupancy import SUPER_D
 
         dt_min = 2.0 * math.sqrt(3.0) / self.max_steps
         cell = 2.0 * min(1.0, self.bound) / self.grid_size
@@ -147,7 +147,7 @@ class RenderSpec:
         while (
             f * 2 <= self.probe_stride
             and f * 2 <= self.max_steps
-            and (f * 2) / 2.0 * dt_min <= NEIGHBOR_RADIUS * cell
+            and (f * 2) / 2.0 * dt_min <= SUPER_D * cell
             and self.max_steps % (f * 2) == 0
         ):
             f *= 2

@@ -22,6 +22,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import struct
 
 from pvd_tpu.config import RenderSpec
@@ -32,12 +33,13 @@ class OccupancyState:
     density_grid: jnp.ndarray  # [CAS, H, H, H] f32; -1 marks untrained cells
     bitfield: jnp.ndarray  # [CAS * H^3] bool, flat row-major
     bitfield_dilated: jnp.ndarray  # [CAS * H^3] bool, 2-cell max-dilation
-    # [H^3, NB_WORDS] uint32 (single-cascade) or [C*H^3 + 1, MC_WORDS]
-    # (multi-cascade/dt_gamma>0, zero sentinel row appended): bit
-    # (dz+R)*side^2+(dy+R)*side+(dx+R) of row (x*H+y)*H+z holds the
-    # occupancy of cell (x+dx, y+dy, z+dz) — ONE gather resolves a whole
-    # (2R+1)^3 neighborhood for the probe-based marcher
-    # (renderer.march_rays)
+    # [(H/4)^3, NB_WORDS] uint32 (single-cascade) or
+    # [C*(H/4)^3 + 1, MC_WORDS] (multi-cascade/dt_gamma>0, zero sentinel
+    # row appended): bit oz*256+oy*16+ox of supercell row (sx*S+sy)*S+sz
+    # holds the occupancy of fine cell 4*s + (ox,oy,oz) - SUPER_D — ONE
+    # gather resolves a supercell-plus-apron 16^3 neighborhood for the
+    # probe-based marcher (renderer.march_rays); [1, NB_WORDS] zeros
+    # when the probe paths don't apply (H % 4 != 0)
     neighbor_masks: jnp.ndarray
     mean_density: jnp.ndarray  # scalar f32
     iter_density: jnp.ndarray  # scalar i32
@@ -45,134 +47,110 @@ class OccupancyState:
     aabb_infer: jnp.ndarray  # [6]
 
 
-# Probe-mask geometry.  Radius 4 (9^3 = 729 bits) packs into 23 uint32
-# words, PADDED to 32 (128B power-of-2 rows): the v5e gather engine runs
-# power-of-2 row widths 16B-256B at the full ~193-210M rows/s even from
-# 4M-row tables, while a non-power-of-2 48B row measured 46M rows/s
-# (micro-benchmarked 2026-08-19).  Rows are charged per ROW, not per
-# byte, so widening the neighborhood from 5^3 (radius 2) to 9^3 cuts
-# gathered rows ~2x at the same per-row cost:
-#  - single-cascade probe march: stride clamps at half-span <= R cells
-#    -> stride 32 instead of 16 at the default 1024-step lattice;
-#  - MC march: 1 step moves <= sqrt(3) cells in the selected mip's frame
-#    (raymarching.cu:44-56 bounds dt by the mip cell, x sqrt(3) at the
-#    top mip), so +-2 steps stay within floor-delta 4 -> a 5-point
-#    window per probe instead of 3.
-NEIGHBOR_RADIUS = 4
-NB_WORDS = 32
-MC_NEIGHBOR_RADIUS = 4
-MC_WORDS = 32
+# Probe-mask geometry (v5e gather engine, micro-benchmarked 2026-08-19,
+# tools/micro_maskrows.py): the marginal gather rate is dominated by
+# TABLE size, not row width — a [2*128^3, 16B] table gathers ~145-160M
+# rows/s and collapses to 27-69M at wider rows, while a [2*32^3, 512B]
+# table holds ~547M rows/s.  So the masks are keyed by 4^3 SUPERCELLS
+# (rows = C*(H/4)^3, ~66K at H=128) with one 16^3-bit row each: bit
+# (oz*256 + oy*16 + ox) of supercell s holds the occupancy of fine cell
+# 4*s + (ox,oy,oz) - D, i.e. the supercell plus a D=6-cell apron.  The
+# 16^3 layout is exactly 128 uint32 words with word-aligned strips
+# (word = oz*8 + oy>>1, bit = (oy&1)*16 + ox), so rows build by pure
+# strided slicing.  Reach: a probe at fine cell c (supercell c>>2)
+# resolves any point within +-D cells of c, hence
+#  - single-cascade probe march: stride clamp at half-span <= D cells
+#    -> stride 32 at the default 1024-step lattice (W=32 probes/ray);
+#  - MC march: 1 step moves <= sqrt(3) cells in the selected mip's
+#    frame (raymarching.cu:44-56 bounds dt by the mip cell, x sqrt(3)
+#    at the top mip), so +-3 steps stay within floor-delta 6 -> a
+#    7-point window per probe (W padded to a multiple of 8: the
+#    extraction where-chain falls off a tiling cliff otherwise,
+#    187 ms vs 2 ms measured at W=147 vs 152).
+SUPER_G = 4  # supercell edge, fine cells
+SUPER_D = 6  # apron reach, fine cells
+SUPER_SIDE = SUPER_G + 2 * SUPER_D  # 16
+NB_WORDS = SUPER_SIDE ** 3 // 32  # 128 (512B rows)
+MC_WORDS = NB_WORDS
 
 
-def _shifted_grid(g, axis_shifts):
-    """g [..., X, Y, Z] shifted so out[x,y,z] = g[x+dx, y+dy, z+dz] (zero
-    padded); leading batch dims untouched."""
-    nb = g.ndim - 3
-    out = g
-    for ax3, s in enumerate(axis_shifts):
-        axis = nb + ax3
-        H = g.shape[axis]
-        if s == 0:
-            continue
-        pad = [(0, 0)] * g.ndim
-        sl = [slice(None)] * g.ndim
-        if s > 0:
-            pad[axis] = (0, s)
-            sl[axis] = slice(s, H + s)
-        else:
-            pad[axis] = (-s, 0)
-            sl[axis] = slice(0, H)
-        out = jnp.pad(out, pad)[tuple(sl)]
-    return out
+def _pack_supercells(g):
+    """Pack per-supercell occupancy aprons into 16^3-bit rows.
 
-
-def _pack_neighborhood(g, R: int, nwords: int):
-    """Pack each cell's (2R+1)^3-neighborhood occupancy into uint32 words.
-
-    g: bool [..., X, Y, Z]; returns uint32 [..., X, Y, Z, nwords] where
-    bit (dz+R)*side^2+(dy+R)*side+(dx+R) of cell (x,y,z) holds
-    g[x+dx, y+dy, z+dz] (zero outside).
-
-    Built SEPARABLY — x-strips (side shift-ORs on the bool grid), then
-    y-planes (side shifted word placements), then z-rows (side x
-    plane-words placements) — ~3(2R+1) + (2R+1)*ceil(side^2/32) word
-    passes instead of the (2R+1)^3 single-bit passes of the naive
-    builder: ~70 vs 729 at R=4.  Pure VPU work, paid only at occupancy
-    updates.
+    g: bool [..., H, H, H] with H % SUPER_G == 0; returns uint32
+    [..., S, S, S, NB_WORDS] (S = H // 4) where bit oz*256 + oy*16 + ox
+    of supercell s holds g[4*s + (ox,oy,oz) - SUPER_D] (zero outside).
+    The layout is word-aligned (16-bit x-strips, 2 per word, 8 words per
+    z-plane): word = oz*8 + oy>>1, bit = (oy&1)*16 + ox — so the build
+    is pure strided slicing with a single 16-bit shift per strip pair,
+    and the march extracts bits without cross-word arithmetic.
     """
-    side = 2 * R + 1
-    assert side <= 32, "x-strip must fit one uint32 word"
+    G, D, side = SUPER_G, SUPER_D, SUPER_SIDE
+    H = g.shape[-1]
+    S = H // G
+    nb = g.ndim - 3
+    pad = [(0, 0)] * nb + [(D, side - G - D)] * 3
+    gp = jnp.pad(g, pad)
 
-    def _or(acc, v):
-        return v if acc is None else acc | v
+    def strided(a, ax3, off):
+        axis = nb + ax3
+        start = [0] * a.ndim
+        limit = list(a.shape)
+        strides = [1] * a.ndim
+        start[axis] = off
+        limit[axis] = off + G * (S - 1) + 1
+        strides[axis] = G
+        return lax.slice(a, start, limit, strides)
 
-    # x-strips: bits (dx+R) in one word
-    s = None
-    for dx in range(-R, R + 1):
-        t = _shifted_grid(g, (dx, 0, 0)).astype(jnp.uint32)
-        s = _or(s, t << jnp.uint32(dx + R))
-    # y-planes: side strips at side-bit offsets -> side^2 bits
-    # (a spilled strip's top bit stays < side^2, so no plane word past
-    # index nwp-1 is ever written — same argument one level up for rows)
-    nwp = (side * side + 31) // 32
-    planes = [None] * nwp
-    for dy in range(-R, R + 1):
-        off = (dy + R) * side
-        w, sh = off // 32, off % 32
-        t = _shifted_grid(s, (0, dy, 0))
-        planes[w] = _or(planes[w], t << jnp.uint32(sh) if sh else t)
-        if sh and sh + side > 32:
-            planes[w + 1] = _or(planes[w + 1], t >> jnp.uint32(32 - sh))
-    # z-rows: side planes at side^2-bit offsets -> side^3 bits
-    words = [None] * nwords
-    for dz in range(-R, R + 1):
-        off_z = (dz + R) * side * side
-        for j in range(nwp):
-            if planes[j] is None:
-                continue
-            t = _shifted_grid(planes[j], (0, 0, dz))
-            o = off_z + 32 * j
-            w, sh = o // 32, o % 32
-            used = min(32, side * side - 32 * j)
-            words[w] = _or(words[w], t << jnp.uint32(sh) if sh else t)
-            if sh and sh + used > 32:
-                words[w + 1] = _or(words[w + 1], t >> jnp.uint32(32 - sh))
-    zero = jnp.zeros(g.shape, jnp.uint32)
-    return jnp.stack([zero if w is None else w for w in words], axis=-1)
+    # x-strips: 16 occupancy bits along x in one word's low half
+    st = None
+    for ox in range(side):
+        t = strided(gp, 0, ox).astype(jnp.uint32) << jnp.uint32(ox)
+        st = t if st is None else st | t
+    # y: two 16-bit strips per word -> 8 words per z-plane
+    planes = [
+        strided(st, 1, 2 * j) | (strided(st, 1, 2 * j + 1) << jnp.uint32(16))
+        for j in range(8)
+    ]
+    # z: 16 plane slices x 8 words, in word order oz*8 + j
+    words = [strided(planes[j], 2, oz) for oz in range(side) for j in range(8)]
+    return jnp.stack(words, axis=-1)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks(bitfield, H: int):
-    """Pack each cell's 9^3-neighborhood occupancy into NB_WORDS uint32.
-
-    Single-cascade only (the exact probe marcher's domain); multi-cascade
-    scenes get a [1, NB_WORDS] zero placeholder.  Jitted: eagerly the
-    separable packer's ~200 primitives each pay their own
+    """Supercell probe-mask table for single-cascade scenes:
+    [(H/4)^3, NB_WORDS] uint32 (see the SUPER_* constants note).
+    Multi-cascade scenes or H % 4 != 0 get a [1, NB_WORDS] zero
+    placeholder (the marcher falls back to the non-probe paths).
+    Jitted: eagerly the packer's ~160 primitives each pay their own
     dispatch/compile through a remote-TPU tunnel.
     """
     C = bitfield.shape[0] // (H * H * H)
-    if C != 1:
+    if C != 1 or H % SUPER_G:
         return jnp.zeros((1, NB_WORDS), jnp.uint32)
     g = bitfield.reshape(H, H, H)
-    return _pack_neighborhood(g, NEIGHBOR_RADIUS, NB_WORDS).reshape(
-        H * H * H, NB_WORDS)
+    S = H // SUPER_G
+    return _pack_supercells(g).reshape(S * S * S, NB_WORDS)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def build_neighbor_masks_mc(bitfield, H: int):
-    """Pack 9^3-neighborhood occupancy per cascade: [C*H^3+1, MC_WORDS].
-
-    The multi-cascade / dt_gamma>0 probe marcher's table (renderer.
-    _probe_march_occ_mc): bit (dz+R)*side^2+(dy+R)*side+(dx+R) of row
-    cas*H^3 + (x*H+y)*H+z holds cascade `cas`'s occupancy of cell
-    (x+dx, y+dy, z+dz) — the same layout as the single-cascade masks,
-    batched over cascades.  The final row is an all-zero sentinel so the
-    flavor stays shape-distinguishable at C == 1 (see MC_WORDS note).
+    """Per-cascade supercell probe-mask table for the multi-cascade /
+    dt_gamma>0 marcher (renderer._probe_march_occ_mc):
+    [C*(H/4)^3 + 1, MC_WORDS] uint32 — row cas*S^3 + (sx*S+sy)*S+sz
+    holds cascade `cas`'s 16^3-bit apron of supercell (sx,sy,sz) (same
+    layout as the single-cascade table, batched over cascades).  The
+    final row is an all-zero sentinel so the flavor stays
+    shape-distinguishable at C == 1.  H % 4 != 0 gets a [1, MC_WORDS]
+    placeholder (marcher falls back to the plain lattice path).
     """
     C = bitfield.shape[0] // (H * H * H)
+    if H % SUPER_G:
+        return jnp.zeros((1, MC_WORDS), jnp.uint32)
     g = bitfield.reshape(C, H, H, H)
-    masks = _pack_neighborhood(g, MC_NEIGHBOR_RADIUS, MC_WORDS).reshape(
-        C * H * H * H, MC_WORDS)
+    S = H // SUPER_G
+    masks = _pack_supercells(g).reshape(C * S * S * S, MC_WORDS)
     return jnp.concatenate(
         [masks, jnp.zeros((1, MC_WORDS), jnp.uint32)], axis=0)
 
@@ -214,11 +192,14 @@ def init_occupancy_state(rspec: RenderSpec) -> OccupancyState:
     H, C = rspec.grid_size, rspec.cascades
     b = rspec.bound
     aabb = jnp.array([-b, -b, -b, b, b, b], jnp.float32)
-    if C == 1 and rspec.dt_gamma == 0.0:
-        masks = jnp.zeros((H * H * H, NB_WORDS), jnp.uint32)
+    S3 = (H // SUPER_G) ** 3 if H % SUPER_G == 0 else 0
+    if not S3:
+        masks = jnp.zeros((1, NB_WORDS), jnp.uint32)  # probe paths off
+    elif C == 1 and rspec.dt_gamma == 0.0:
+        masks = jnp.zeros((S3, NB_WORDS), jnp.uint32)
     else:
         # +1: zero sentinel row (see build_neighbor_masks_mc)
-        masks = jnp.zeros((C * H * H * H + 1, MC_WORDS), jnp.uint32)
+        masks = jnp.zeros((C * S3 + 1, MC_WORDS), jnp.uint32)
     return OccupancyState(
         density_grid=jnp.zeros((C, H, H, H), jnp.float32),
         bitfield=jnp.zeros((C * H * H * H,), bool),
@@ -378,8 +359,9 @@ def set_bitfield(state: OccupancyState, bitfield) -> OccupancyState:
         f"bitfield has {bitfield.shape[0]} cells, state expects "
         f"{C}x{H}^3 = {C * H * H * H} (a short bitfield silently disables "
         "the probe march and garbles cascade lookups)")
-    # MC masks carry a sentinel row: [C*H^3 + 1, W] vs single [H^3, W]
-    if state.neighbor_masks.shape[0] == C * H * H * H + 1:
+    # MC masks carry a sentinel row: [C*S^3 + 1, W] vs single [S^3, W]
+    S3 = (H // SUPER_G) ** 3 if H % SUPER_G == 0 else 0
+    if S3 and state.neighbor_masks.shape[0] == C * S3 + 1:
         masks = build_neighbor_masks_mc(bitfield, H)
     else:
         masks = build_neighbor_masks(bitfield, H)

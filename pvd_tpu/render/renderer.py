@@ -46,9 +46,30 @@ from pvd_tpu.ops.composite import (
     composite_stratified,
 )
 from pvd_tpu.ops.sampling import sample_pdf, stratified_z_vals
-from pvd_tpu.render.occupancy import OccupancyState
+from pvd_tpu.render.occupancy import (
+    SUPER_D,
+    SUPER_G,
+    SUPER_SIDE,
+    OccupancyState,
+)
 
 SQRT3 = math.sqrt(3.0)
+
+
+def _super_mask_bit(masks, off):
+    """Occupancy bit of fine-cell offset `off` [..., W, F, 3] (values in
+    [0, 16)) from gathered supercell apron rows `masks` [..., W, nw]:
+    word = oz*8 + oy>>1, bit = (oy&1)*16 + ox (occupancy._pack_supercells
+    layout).  The word select is an nw-long where-chain — vectorized
+    selects that fuse with the gather; keep W a multiple of 8 (a
+    [4096,147,7] operand measured 187 ms vs 2 ms at W=152: tiling cliff).
+    """
+    word_i = (off[..., 2] << 3) + (off[..., 1] >> 1)
+    bit_i = (((off[..., 1] & 1) << 4) + off[..., 0]).astype(jnp.uint32)
+    word = jnp.zeros(word_i.shape, jnp.uint32)
+    for q in range(masks.shape[-1]):
+        word = jnp.where(word_i == q, masks[..., None, q], word)
+    return ((word >> bit_i) & jnp.uint32(1)).astype(bool)
 
 
 class MarchedSamples(NamedTuple):
@@ -213,23 +234,23 @@ def _cell_coords(pos, rspec: RenderSpec):
 
 def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
                      rspec: RenderSpec):
-    """Exact per-lattice-point occupancy [N, L] via packed-neighborhood
-    probes: ONE mask-row gather per `probe_stride` lattice points.
+    """Exact per-lattice-point occupancy [N, L] via supercell probes:
+    ONE mask-row gather per `probe_stride` lattice points.
 
     Replaces both stages of the old dilated two-pass march: every fine
-    point of a stride-F window lies within +-R cells of the window-center
-    probe (F is clamped to guarantee this, RenderSpec.effective_probe_stride),
-    so the probe's (2R+1)^3-bit mask resolves all F points exactly — the
-    same bits a direct bitfield lookup would read, at 1/F the gather rows.
+    point of a stride-F window lies within +-SUPER_D cells of the
+    window-center probe (F is clamped to guarantee this,
+    RenderSpec.effective_probe_stride), so the probe supercell's
+    16^3-bit apron row resolves all F points exactly — the same bits a
+    direct bitfield lookup would read, at 1/F the gather rows, from a
+    (H/4)^3-row table small enough for the gather engine's fast regime
+    (~547M rows/s vs ~145M at H^3 rows, see occupancy.SUPER_G note).
     """
-    from pvd_tpu.render.occupancy import NEIGHBOR_RADIUS as R
-
     N = rays_o.shape[0]
     L = rspec.max_steps
     H = rspec.grid_size
     F = rspec.effective_probe_stride
     W = L // F
-    side = 2 * R + 1
     dt_min = 2.0 * SQRT3 / rspec.max_steps
 
     # probe at each window's center lattice point
@@ -238,7 +259,9 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     pos_mid = rays_o[:, None, :] + ts_mid[..., None] * rays_d[:, None, :]
     pos_mid = jnp.clip(pos_mid, -rspec.bound, rspec.bound)
     cell_mid = _cell_coords(pos_mid, rspec)  # [N, W, 3]
-    row = (cell_mid[..., 0] * H + cell_mid[..., 1]) * H + cell_mid[..., 2]
+    sc = cell_mid >> 2  # supercell
+    S = H // SUPER_G
+    row = (sc[..., 0] * S + sc[..., 1]) * S + sc[..., 2]
     # NOTE: folding dead (t >= far) windows to a duplicate row was tried
     # and does NOT speed the gather engine up (micro-benchmarked: half-
     # duplicate index streams gather no faster than random) — row count
@@ -246,20 +269,15 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0)  # [N*W, nw]
     masks = masks.reshape(N, W, neighbor_masks.shape[-1])
 
-    # fine points: cell delta from the probe cell selects a mask bit
+    # fine points: cell offset in the probe's supercell apron frame
     k_all = jnp.arange(L, dtype=jnp.float32).reshape(W, F)
     ts = t0[:, None, None] + k_all[None] * dt_min  # [N, W, F]
     pos = rays_o[:, None, None, :] + ts[..., None] * rays_d[:, None, None, :]
     pos = jnp.clip(pos, -rspec.bound, rspec.bound)
     cell = _cell_coords(pos, rspec)  # [N, W, F, 3]
-    delta = jnp.clip(cell - cell_mid[:, :, None, :], -R, R) + R
-    bit = (delta[..., 2] * side + delta[..., 1]) * side + delta[..., 0]
-    word_i = bit // 32
-    bit_i = (bit % 32).astype(jnp.uint32)
-    word = jnp.zeros(bit.shape, jnp.uint32)
-    for wi in range((side ** 3 + 31) // 32):
-        word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
-    occ = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
+    off = jnp.clip(cell - (sc[:, :, None, :] << 2) + SUPER_D,
+                   0, SUPER_SIDE - 1)
+    occ = _super_mask_bit(masks, off)
     occ = occ & (ts < fars[:, None, None])
     return occ.reshape(N, L), ts.reshape(N, L)
 
@@ -267,37 +285,39 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
 def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
                         rspec: RenderSpec):
     """Occupancy [N, L] for multi-cascade and/or dt_gamma>0 lattices via
-    per-cascade 9^3 packed-neighborhood probes (occupancy.
-    build_neighbor_masks_mc), one mask-row gather per 5 lattice points.
+    per-cascade supercell apron probes (occupancy.build_neighbor_masks_mc),
+    one mask-row gather per 7 lattice points.
 
-    Each window of 5 points probes at its middle point; a fine point is
-    resolved from the probe's 729-bit mask when (a) its mip equals the
-    probe's mip and (b) its cell lies within +-4 cells of the probe cell
-    in that mip's frame.  The mip rule (raymarching.cu:44-56) bounds a
-    step by the selected mip's cell size (x sqrt(3) at the top mip), so a
-    +-2-step point moves <= 2*sqrt(3) cells -> floor-cell delta <= 4:
-    every same-mip point resolves exactly, including the top-mip dt_max
+    Each window of 7 points probes at its middle point; a fine point is
+    resolved from the probe supercell's 16^3-bit apron row when (a) its
+    mip equals the probe's mip and (b) its cell lies within the apron
+    (probe supercell +- SUPER_D cells) in that mip's frame.  The mip
+    rule (raymarching.cu:44-56) bounds a step by the selected mip's cell
+    size (x sqrt(3) at the top mip), so a +-3-step point moves
+    <= 3*sqrt(3) cells -> floor-cell delta <= 6 = SUPER_D: every
+    same-mip point resolves exactly, including the top-mip dt_max
     overrun.  Cross-mip points (a mip transition inside the window) get
     an EXACT per-point lookup through a first-U-per-ray compaction (see
     the inline note) — the march is exact up to that U budget, and errs
     occupied (never drops) past it.
 
-    Perf note (v5e, micro-benchmarked 2026-08-19): the gather engine
-    charges per ROW for power-of-2 row widths 16B-256B (~193-210M
-    rows/s even from 4M-row tables) but collapsed to 46M rows/s on a
-    non-power-of-2 48B row — hence 9^3 masks padded to 128B rows and a
-    5-point window: ~2x fewer gathered rows than the 5^3/stride-3
-    formulation this replaces (which itself beat a 7^3/48B/stride-4
-    variant 3x).
+    Perf note (v5e, micro-benchmarked 2026-08-19, tools/micro_maskrows):
+    gather rate is dominated by TABLE size — the per-CELL [C*H^3, 16B]
+    table this replaces gathered ~145M rows/s at 1 row per 3 lattice
+    points (8.5 ms/step traced on the cascade config), while the
+    supercell [C*(H/4)^3, 512B] table holds ~547M rows/s at 1 row per
+    7 points: ~3x fewer rows, ~3.8x faster each.
     """
-    from pvd_tpu.render.occupancy import MC_NEIGHBOR_RADIUS as R
-
     N, L = ts.shape
     H = rspec.grid_size
     C = rspec.cascades
-    F = 2 * (R // 2) + 1
-    W = -(-L // F)
-    side = 2 * R + 1
+    S = H // SUPER_G
+    # +-(F//2) steps, each <= sqrt(3) cells per axis in the selected
+    # mip's frame -> floor-cell delta <= ceil(sqrt(3)*F//2) <= SUPER_D
+    F = 2 * int(SUPER_D / SQRT3) + 1  # 7
+    # W padded to a multiple of 8: the extraction where-chain falls off
+    # a tiling cliff otherwise (187 ms vs 2 ms measured at 147 vs 152)
+    W = -(-(-(-L // F)) // 8) * 8  # ceil(ceil(L/F) / 8) * 8
     pad = W * F - L
     if pad:
         # padded points sit past every ray's far clip -> dead below
@@ -328,8 +348,9 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     mb_p = mip_bound(lvl_p)[..., None]
     cell_p = jnp.clip((0.5 * (pos_p / mb_p + 1.0) * H).astype(jnp.int32),
                       0, H - 1)  # [N, W, 3]
-    row = (cell_p[..., 0] * H + cell_p[..., 1]) * H + cell_p[..., 2] \
-        + lvl_p * (H * H * H)
+    sc_p = cell_p >> 2  # supercell of the probe cell
+    row = (sc_p[..., 0] * S + sc_p[..., 1]) * S + sc_p[..., 2] \
+        + lvl_p * (S * S * S)
     masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0,
                      mode="clip").reshape(N, W, neighbor_masks.shape[-1])
 
@@ -349,17 +370,10 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # the +-(F//2)-step window still holds on clipped cells.
     n_k = jnp.clip((0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H)
                    .astype(jnp.int32), 0, H - 1)
-    delta = n_k - cell_p[:, :, None, :]
-    inside = jnp.all((delta >= -R) & (delta <= R), axis=-1)  # [N, W, F]
+    off = n_k - (sc_p[:, :, None, :] << 2) + SUPER_D  # apron-frame offset
+    inside = jnp.all((off >= 0) & (off < SUPER_SIDE), axis=-1)  # [N, W, F]
     resolved = inside & (lvl_k == lvl_p[..., None])
-    dc = jnp.clip(delta, -R, R) + R
-    bit = (dc[..., 2] * side + dc[..., 1]) * side + dc[..., 0]
-    word_i = bit // 32
-    bit_i = (bit % 32).astype(jnp.uint32)
-    word = jnp.zeros(bit.shape, jnp.uint32)
-    for wi in range((side ** 3 + 31) // 32):  # used words only (pad skipped)
-        word = jnp.where(word_i == wi, masks[:, :, None, wi], word)
-    occ_bit = ((word >> bit_i) & jnp.uint32(1)).astype(bool)
+    occ_bit = _super_mask_bit(masks, jnp.clip(off, 0, SUPER_SIDE - 1))
 
     # Cross-mip (unresolved) points: EXACT per-point lookup.  lvl(t)
     # changes only O(cascades) times per ray (lvl_dt is nondecreasing;
@@ -395,13 +409,16 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     mb_u = mip_bound(lvl_u)[..., None]
     n_u = jnp.clip((0.5 * (p_u / mb_u + 1.0) * H).astype(jnp.int32),
                    0, H - 1)
-    row_u = (n_u[..., 0] * H + n_u[..., 1]) * H + n_u[..., 2] \
-        + lvl_u * (H * H * H)
+    sc_u = n_u >> 2
+    row_u = (sc_u[..., 0] * S + sc_u[..., 1]) * S + sc_u[..., 2] \
+        + lvl_u * (S * S * S)
     m_u = jnp.take(neighbor_masks, row_u.reshape(-1), axis=0,
                    mode="clip").reshape(N, Uw * F, -1)
-    center = R * (side * side + side + 1)  # delta (0,0,0) bit
-    b_u = (((m_u[..., center // 32] >> jnp.uint32(center % 32))
-            & jnp.uint32(1)).astype(bool)
+    # the point's OWN cell bit in its own supercell row: offset
+    # (n_u & 3) + D per axis (varies per point, unlike the old
+    # fixed-center per-cell layout)
+    off_u = (n_u & 3) + SUPER_D
+    b_u = (_super_mask_bit(m_u, off_u[:, :, None, :])[..., 0]
            & valid_w.repeat(F, axis=1)).reshape(N, Uw, F)
     at_w = (jnp.arange(W, dtype=jnp.int32)[None, :, None]
             == pos_w[:, None, :]) & valid_w[:, None, :]  # [N, W, Uw]
@@ -428,8 +445,8 @@ def march_rays(
 ) -> MarchedSamples:
     """March all rays through the occupancy grid into padded sample slots.
 
-    Single-cascade dt_gamma==0 scenes take the probe path (one packed
-    5^3-neighborhood gather per `probe_stride` lattice points — exact, see
+    Single-cascade dt_gamma==0 scenes take the probe path (one supercell
+    apron gather per `probe_stride` lattice points — exact, see
     _probe_march_occ).  Otherwise, when `bitfield_dilated` is given a
     two-stage exact test runs: the dilated field is probed every
     `coarse_stride` lattice points; only hit windows are fine-tested.
@@ -443,13 +460,17 @@ def march_rays(
     if perturb_key is not None:
         t0 = t0 + dt_min * jax.random.uniform(perturb_key, (N,))
 
-    n_cells = rspec.cascades * rspec.grid_size ** 3
+    n_super = (rspec.cascades * (rspec.grid_size // SUPER_G) ** 3
+               if rspec.grid_size % SUPER_G == 0 else -1)
+    n_super1 = ((rspec.grid_size // SUPER_G) ** 3
+                if rspec.grid_size % SUPER_G == 0 else -1)
     use_probe = neighbor_masks is not None and rspec.use_coarse_march \
-        and neighbor_masks.shape[0] == n_cells
-    # multi-cascade / dt_gamma>0 probe path (per-cascade 5^3 masks with a
-    # sentinel row: [C*H^3 + 1, 4], occupancy.build_neighbor_masks_mc)
+        and neighbor_masks.shape[0] == n_super1
+    # multi-cascade / dt_gamma>0 probe path (per-cascade supercell masks
+    # with a sentinel row: [C*(H/4)^3 + 1, 128],
+    # occupancy.build_neighbor_masks_mc)
     use_probe_mc = (not use_probe) and neighbor_masks is not None \
-        and rspec.coarse_march and neighbor_masks.shape[0] == n_cells + 1
+        and rspec.coarse_march and neighbor_masks.shape[0] == n_super + 1
     use_coarse = (not use_probe) and (not use_probe_mc) \
         and bitfield_dilated is not None and rspec.use_coarse_march
     if use_probe:

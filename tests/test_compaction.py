@@ -42,9 +42,9 @@ def test_probe_march_matches_plain_lattice():
     bf3 = rng.uniform(size=(H, H, H)) < 0.25
     bitfield = jnp.asarray(bf3.reshape(-1))
     masks = build_neighbor_masks(bitfield, H)
-    from pvd_tpu.render.occupancy import NB_WORDS
+    from pvd_tpu.render.occupancy import NB_WORDS, SUPER_G
 
-    assert masks.shape == (H * H * H, NB_WORDS)
+    assert masks.shape == ((H // SUPER_G) ** 3, NB_WORDS)
 
     o, d = _rays(32, rng)
     aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])

@@ -512,10 +512,11 @@ def test_probe_mc_through_render_rays():
     rspec, H, C, bf, o, d, nears, fars = _c2_setup()
     rspec = dataclasses.replace(rspec, samples_per_ray=8.0)
     occ = set_bitfield(init_occupancy_state(rspec), jnp.asarray(bf))
-    # per-cascade 9^3 masks + the sentinel row (see occupancy.MC_WORDS)
-    from pvd_tpu.render.occupancy import MC_WORDS
+    # per-cascade supercell masks + the sentinel row (see occupancy)
+    from pvd_tpu.render.occupancy import MC_WORDS, SUPER_G
 
-    assert occ.neighbor_masks.shape == (C * H ** 3 + 1, MC_WORDS)
+    assert occ.neighbor_masks.shape == (
+        C * (H // SUPER_G) ** 3 + 1, MC_WORDS)
     spec = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
                      hash_desired_res=64)
     params = init_field(jax.random.PRNGKey(0), spec)
@@ -532,33 +533,37 @@ def test_probe_mc_through_render_rays():
     np.testing.assert_allclose(np.asarray(out0["image"]), 1.0, atol=1e-5)
 
 
-def test_pack_neighborhood_matches_bruteforce():
-    """The separable neighborhood packer (x-strips -> y-planes -> z-rows,
-    occupancy._pack_neighborhood) is bit-identical to the brute-force
-    definition: bit (dz+R)*side^2+(dy+R)*side+(dx+R) of cell (x,y,z) is
-    g[x+dx, y+dy, z+dz] (zero outside), incl. leading cascade dims and
-    word padding."""
+def test_pack_supercells_matches_bruteforce():
+    """The strided supercell packer (occupancy._pack_supercells) is
+    bit-identical to the brute-force definition: bit oz*256+oy*16+ox of
+    supercell s is g[4*s + (ox,oy,oz) - SUPER_D] (zero outside), incl.
+    leading cascade dims."""
     from pvd_tpu.render.occupancy import (
-        MC_NEIGHBOR_RADIUS,
-        MC_WORDS,
-        _pack_neighborhood,
+        NB_WORDS,
+        SUPER_D,
+        SUPER_G,
+        SUPER_SIDE,
+        _pack_supercells,
     )
 
     rng = np.random.default_rng(0)
-    for R, nwords in ((2, 4), (MC_NEIGHBOR_RADIUS, MC_WORDS)):
-        side = 2 * R + 1
-        H = 12
-        g = rng.random((2, H, H, H)) < 0.3
-        out = np.asarray(_pack_neighborhood(jnp.asarray(g), R, nwords))
-        exp = np.zeros((2, H, H, H, nwords), np.uint32)
-        gp = np.zeros((2, H + 2 * R, H + 2 * R, H + 2 * R), bool)
-        gp[:, R:H + R, R:H + R, R:H + R] = g
-        for dz in range(-R, R + 1):
-            for dy in range(-R, R + 1):
-                for dx in range(-R, R + 1):
-                    bit = (dz + R) * side * side + (dy + R) * side + (dx + R)
-                    v = gp[:, R + dx:H + R + dx, R + dy:H + R + dy,
-                           R + dz:H + R + dz]
-                    exp[..., bit // 32] |= (
-                        v.astype(np.uint32) << np.uint32(bit % 32))
-        assert (out == exp).all(), f"packer mismatch at R={R}"
+    H = 16
+    S = H // SUPER_G
+    D = SUPER_D
+    g = rng.random((2, H, H, H)) < 0.3
+    out = np.asarray(_pack_supercells(jnp.asarray(g)))
+    assert out.shape == (2, S, S, S, NB_WORDS)
+    exp = np.zeros((2, S, S, S, NB_WORDS), np.uint32)
+    gp = np.zeros((2, H + 2 * D, H + 2 * D, H + 2 * D), bool)
+    gp[:, D:H + D, D:H + D, D:H + D] = g
+    for oz in range(SUPER_SIDE):
+        for oy in range(SUPER_SIDE):
+            for ox in range(SUPER_SIDE):
+                bit = oz * 256 + oy * 16 + ox
+                v = gp[:,
+                       ox:ox + SUPER_G * (S - 1) + 1:SUPER_G,
+                       oy:oy + SUPER_G * (S - 1) + 1:SUPER_G,
+                       oz:oz + SUPER_G * (S - 1) + 1:SUPER_G]
+                exp[..., bit // 32] |= (
+                    v.astype(np.uint32) << np.uint32(bit % 32))
+    assert (out == exp).all(), "supercell packer mismatch"
