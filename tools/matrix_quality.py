@@ -69,7 +69,11 @@ def main():
             argv = [args.root, "--model_type", tea,
                     "--iters", str(args.teacher_iters),
                     "--grid_size", "64", "--num_rays", "4096",
-                    "--workspace", ws, "--eval_interval", "1000"]
+                    "--workspace", ws, "--eval_interval", "1000",
+                    # device-resident images + scan-fused steps: amortizes
+                    # the ~1.5 ms/step host+tunnel overhead (quality A/B'd
+                    # within ~0.1 dB of single steps, STATUS.md)
+                    "--preload", "--scan_steps", "8"]
             if tea == "hash":
                 argv += ["--hash_cell_levels", "9"]
             stats = train_teacher.main(argv)
@@ -93,7 +97,8 @@ def main():
                 "--stage_iters", "stage1=300,stage2=800",
                 "--num_rays", "4096", "--max_samples", "64",
                 "--samples_per_ray", "6", "--no_autotune_budget",
-                "--eval_interval", "1000", "--ckpt", "scratch"]
+                "--eval_interval", "1000", "--ckpt", "scratch",
+                "--preload", "--scan_steps", "8"]
         if tea == "hash":
             argv += ["--hash_cell_levels", "9"]
         stats = distill.main(argv)
