@@ -321,6 +321,29 @@ def run_phases(res: dict, use_tpu: bool, on_update=None):
     except Exception as e:
         log(f"cascade config FAILED: {type(e).__name__}: {e}")
 
+    # Phase 6 (auxiliary): rays/step scaling curve (VERDICT r4 item 1).
+    # The 2 Mrays/s target was never probed above the reference-parity
+    # 4096 rays/step; fixed per-step costs (top_k, occupancy gathers,
+    # dispatch) amortize with batch.  4096 stays the headline; the curve
+    # is recorded so the batch-size lever is on-record.
+    if cfg is not None:
+        curve = {"4096": res.get("value", 0.0)}
+        for nr in (8192, 16384):
+            try:
+                cfg_n = PVDConfig(num_rays=nr, grid_size=128,
+                                  max_steps=1024, resolution0=300,
+                                  max_samples=64, samples_per_ray=6.0,
+                                  autotune_budget=False)
+                _, rps_n = bench_config(f"scale(rays={nr},scan=8)", cfg_n,
+                                        iters=max(it4 // 2, 1),
+                                        scan_steps=8, bake=bake)
+                curve[str(nr)] = round(rps_n, 1)
+            except Exception as e:
+                log(f"scale rays={nr} FAILED: {type(e).__name__}: {e}")
+        res["scaling_curve_rays_per_sec"] = curve
+        if on_update:
+            on_update()
+
 
 def _setup_cache(jax, use_tpu: bool):
     """Persistent compile cache: repeat runs (and the driver run after this
@@ -389,7 +412,8 @@ def _adopt(best: dict, src: str) -> bool:
     with _result_lock:
         if src == "cpu" and _result_src == "tpu":
             return False
-        for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline"):
+        for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline",
+                  "scaling_curve_rays_per_sec"):
             _result.pop(k, None)
         _result.update(best)
         _result_src = src

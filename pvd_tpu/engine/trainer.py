@@ -662,9 +662,17 @@ class Trainer:
 
         t_start = time.time()
         pending_emap = None  # host-batcher lagged error-map update
+        # end-to-end throughput accounting (VERDICT r4 item 2): wall time
+        # split into compile (any iteration that built a new step fn — jit
+        # blocks the caller through compilation), eval, occ ticks, and
+        # steady step time.  Totals land in self.train_stats below.
+        self._t_compile = 0.0
+        self._t_eval = 0.0
+        self._t_occ = 0.0
         # host-side step counter: reading state.step back every iteration is
         # a D2H round-trip per step through the remote-TPU tunnel
         step = int(self.state.step)
+        step0 = step
         epoch_len = len(poses)
         epoch = step // max(epoch_len, 1)
         while step < total:
@@ -688,10 +696,14 @@ class Trainer:
                 # keep the teacher-inherited grid unless update_stu_extra is
                 # set (distill_mutual/utils.py:790-794, default off)
                 if self.mode == "teacher" or cfg.update_stu_extra:
+                    t_occ = time.time()
                     self._maybe_update_occ(step, k_occ)
+                    self._t_occ += time.time() - t_occ
 
                 idx = int(rng_np.integers(0, len(poses)))
                 stage = self._stage_of(step)
+                n_fns_before = len(self._steps)
+                t_iter = time.time()
                 if self.mode == "teacher" and batcher is not None:
                     from pvd_tpu.engine.train_steps import (
                         make_teacher_step_host,
@@ -758,6 +770,8 @@ class Trainer:
                         self._log_scan_chunk(logs_k, step, K, total, stage,
                                              t_start)
                         self._last_metrics = metrics
+                        if len(self._steps) != n_fns_before:
+                            self._t_compile += time.time() - t_iter
                         step += K
                         done_in_epoch += K
                         continue
@@ -795,6 +809,8 @@ class Trainer:
                         self._log_scan_chunk(logs_k, step, K, total, stage,
                                              t_start)
                         self._last_metrics = metrics
+                        if len(self._steps) != n_fns_before:
+                            self._t_compile += time.time() - t_iter
                         step += K
                         done_in_epoch += K
                         continue
@@ -832,6 +848,8 @@ class Trainer:
                         self._log_scan_chunk(logs_k, step, K, total,
                                              stage, t_start)
                         self._last_metrics = metrics
+                        if len(self._steps) != n_fns_before:
+                            self._t_compile += time.time() - t_iter
                         step += K
                         done_in_epoch += K
                         continue
@@ -848,6 +866,8 @@ class Trainer:
                             self.state, self.params_tea, self.occ_tea,
                             poses[idx], k_step,
                         )
+                if len(self._steps) != n_fns_before:
+                    self._t_compile += time.time() - t_iter
                 self._maybe_vm_resize(step + 1)
                 self._last_metrics = metrics
 
@@ -885,10 +905,32 @@ class Trainer:
             if valid_ds is not None and (
                 epoch % cfg.eval_interval == 0 or step >= total
             ):
+                t_ev = time.time()
                 self._eval_and_track_best(valid_ds)
+                self._t_eval += time.time() - t_ev
 
         if batcher is not None:
             batcher.close()
+        # end-to-end training throughput (VERDICT r4 item 2): tracked per
+        # phase, excluding compile, INCLUDING occ ticks + mid-train evals
+        # (that is what the reference schedule's wall-clock actually pays).
+        wall = time.time() - t_start
+        steps_done = step - step0
+        if steps_done > 0:
+            no_compile = max(wall - self._t_compile, 1e-9)
+            steady = max(no_compile - self._t_eval - self._t_occ, 1e-9)
+            self.train_stats = {
+                "train_steps": steps_done,
+                "train_wall_s": round(wall, 1),
+                "train_compile_s": round(self._t_compile, 1),
+                "train_eval_s": round(self._t_eval, 1),
+                "train_occ_s": round(self._t_occ, 1),
+                "train_rays_per_sec": round(
+                    steps_done * cfg.num_rays / no_compile, 1),
+                "train_rays_per_sec_steady": round(
+                    steps_done * cfg.num_rays / steady, 1),
+            }
+            self.log(f"[{self.name}] e2e throughput: {self.train_stats}")
         self.save()
         return self.state
 
@@ -948,8 +990,11 @@ class Trainer:
         save_dir = save_dir or os.path.join(self.workspace, "results")
         os.makedirs(save_dir, exist_ok=True)
 
+        render_times = []
         for i in range(len(ds)):
+            t_img = time.time()
             img, dep = render(params, occ, ds.poses[i], ds.intrinsics, ds.H, ds.W)
+            render_times.append(time.time() - t_img)
             if ds.images is not None:
                 gt = ds.images[i]
                 if gt.shape[-1] == 4:
@@ -983,6 +1028,14 @@ class Trainer:
             "psnr": meter.measure(),
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
         }
+        if render_times:
+            # steady-state render seconds/image (min over images: later
+            # images may still pay ladder-rung compiles) + the first-image
+            # time, which carries any compile (tracked metric: the
+            # reference's --test workflow, distill_mutual/utils.py:1193-1368)
+            self.stats["eval_s_per_image"] = round(min(render_times), 3)
+            self.stats["eval_s_first_image"] = round(render_times[0], 3)
+        self.stats.update(getattr(self, "train_stats", {}))
         if lp_a:
             self.stats["lpips_alex"] = float(np.mean(lp_a))
             self.stats["lpips_vgg"] = float(np.mean(lp_v))

@@ -89,6 +89,11 @@ def main():
         ])
         results["teacher_psnr"] = stats.get("psnr")
         results["teacher_wall_s"] = round(time.time() - t0, 1)
+        for k in ("train_rays_per_sec", "train_rays_per_sec_steady",
+                  "train_compile_s", "train_eval_s", "train_occ_s",
+                  "train_wall_s", "eval_s_per_image"):
+            if k in stats:
+                results[f"teacher_{k}"] = stats[k]
         print(f"[ref] teacher PSNR {stats.get('psnr')} "
               f"in {results['teacher_wall_s']}s")
         tea_ckpt = find_best(tea_ws)
@@ -118,11 +123,19 @@ def main():
     ])
     results["distill_psnr"] = stats.get("psnr")
     results["distill_wall_s"] = round(time.time() - t0, 1)
+    for k in ("train_rays_per_sec", "train_rays_per_sec_steady",
+              "train_compile_s", "train_eval_s", "train_occ_s",
+              "train_wall_s", "eval_s_per_image", "eval_s_first_image"):
+        if k in stats:
+            results[f"distill_{k}"] = stats[k]
+    results["schedule"] = "full" if (tea_iters >= 40000
+                                     and dis_iters >= 30000) else "half"
     print(f"[ref] distill PSNR {stats.get('psnr')} "
           f"in {results['distill_wall_s']}s")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
+        f.write("\n")
     print("[ref] " + json.dumps(results))
 
 
