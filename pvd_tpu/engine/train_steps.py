@@ -139,6 +139,7 @@ def distill_loss(params_stu, params_tea, spec_stu: ModelSpec,
         bg_color=bg, want_color=want_color, composite=composite,
         inherited=out_s["samples"],
         inherited_compact=out_s["compact"],
+        inherited_t_c=out_s.get("compact_t"),
     )
     out_t = jax.lax.stop_gradient(out_t)
     # [N, S] padded mask, or the [M] compacted-slot mask when the global

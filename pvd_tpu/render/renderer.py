@@ -75,13 +75,24 @@ def _super_mask_bit(masks, off):
 class MarchedSamples(NamedTuple):
     """Padded static-shape replacement for the CSR (xyzs/dirs/deltas/rays)
     quadruple the reference threads through distillation
-    (renderer.py:374-394 `inherited_params`)."""
+    (renderer.py:374-394 `inherited_params`).
 
-    t: jnp.ndarray  # [N, S] sample distances (0 in padded slots)
-    dt: jnp.ndarray  # [N, S] integration step of each sample
-    delta_depth: jnp.ndarray  # [N, S] real marched distance incl. skips
+    Lazy flavor (march_rays(lazy_t=True), multi-cascade probe path only):
+    t/dt/delta_depth are None and the per-slot LATTICE INDEX is returned
+    instead (`lattice_pos` [N, S] i32 + `ts_flat` [N*L] with t of lattice
+    point k of ray n at ts_flat[k*N + n]).  Materializing t [N, S] costs a
+    [N, L]-lane quad repack + a N*S-row gather (traced 2.7 ms/step on the
+    cascade config); budget-compacted rendering only ever consumes t at
+    the M << N*S compacted slots, so render_rays gathers those directly.
+    """
+
+    t: Optional[jnp.ndarray]  # [N, S] sample distances (0 in padded slots)
+    dt: Optional[jnp.ndarray]  # [N, S] integration step of each sample
+    delta_depth: Optional[jnp.ndarray]  # [N, S] real marched dist incl skips
     mask: jnp.ndarray  # [N, S] bool validity
     t0: jnp.ndarray  # [N] march start (near, possibly perturbed)
+    lattice_pos: Optional[jnp.ndarray] = None  # [N, S] i32 (lazy mode)
+    ts_flat: Optional[jnp.ndarray] = None  # [L*N] f32, k-major (lazy mode)
 
 
 class CompactInfo(NamedTuple):
@@ -137,26 +148,39 @@ def compact_samples(mask, budget: int, prefix: bool = False) -> CompactInfo:
     return CompactInfo(idx=idx, valid=valid, ray_id=idx // S, total=total)
 
 
+def _t_lattice_ln(t0, rspec: RenderSpec):
+    """Per-ray t-sequence in the scan's NATIVE [L, N] layout (dt_gamma>0).
+
+    Emits ts only: dt = clip(t*dt_gamma, dt_min, dt_max) is the exact
+    formula the recurrence applies to the same t, so _dt_from_t recomputes
+    it BITWISE instead of the scan materializing a second [L, N] array.
+    """
+    L = rspec.max_steps
+    dt_min = 2.0 * SQRT3 / rspec.max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (rspec.cascades - 1)) / rspec.grid_size
+
+    def step(t, _):
+        return t + jnp.clip(t * rspec.dt_gamma, dt_min, dt_max), t
+
+    # unroll: the L-iteration scan is a sequential device loop
+    # (traced 0.77 ms at L=1024 plus 0.34 ms of per-step
+    # dynamic_update_slice); unrolling batches the carry writes
+    # without changing a single bit of the recurrence
+    _, ts = lax.scan(step, t0, None, length=L, unroll=16)
+    return ts
+
+
 def _t_lattice(t0, rspec: RenderSpec):
     """Per-ray t-sequence [N, L] and step sizes [N, L]."""
     L = rspec.max_steps
     dt_min = 2.0 * SQRT3 / rspec.max_steps
-    dt_max = 2.0 * SQRT3 * (2 ** (rspec.cascades - 1)) / rspec.grid_size
     if rspec.dt_gamma == 0.0:
         k = jnp.arange(L, dtype=jnp.float32)
         ts = t0[:, None] + k[None, :] * dt_min
         dts = jnp.full_like(ts, dt_min)
     else:
-        def step(t, _):
-            dt = jnp.clip(t * rspec.dt_gamma, dt_min, dt_max)
-            return t + dt, (t, dt)
-
-        # unroll: the L-iteration scan is a sequential device loop
-        # (traced 0.77 ms at L=1024 plus 0.34 ms of per-step
-        # dynamic_update_slice); unrolling batches the carry writes
-        # without changing a single bit of the recurrence
-        _, (ts, dts) = lax.scan(step, t0, None, length=L, unroll=16)
-        ts, dts = ts.T, dts.T
+        ts = _t_lattice_ln(t0, rspec).T
+        dts = _dt_from_t(ts, jnp.bool_(True), rspec)
     return ts, dts
 
 
@@ -171,7 +195,8 @@ def _dt_from_t(t, valid, rspec: RenderSpec):
     """
     dt_min = 2.0 * SQRT3 / rspec.max_steps
     if rspec.dt_gamma == 0.0:
-        return jnp.where(valid, dt_min, 0.0)
+        # full_like keeps t's shape even under a scalar `valid`
+        return jnp.where(valid, jnp.full_like(t, dt_min), 0.0)
     dt_max = 2.0 * SQRT3 * (2 ** (rspec.cascades - 1)) / rspec.grid_size
     return jnp.where(
         valid, jnp.clip(t * rspec.dt_gamma, dt_min, dt_max), 0.0)
@@ -442,6 +467,7 @@ def march_rays(
     perturb_key=None,
     bitfield_dilated=None,
     neighbor_masks=None,
+    lazy_t: bool = False,
 ) -> MarchedSamples:
     """March all rays through the occupancy grid into padded sample slots.
 
@@ -450,6 +476,11 @@ def march_rays(
     _probe_march_occ).  Otherwise, when `bitfield_dilated` is given a
     two-stage exact test runs: the dilated field is probed every
     `coarse_stride` lattice points; only hit windows are fine-tested.
+
+    lazy_t=True (multi-cascade probe path only): skip materializing
+    t/dt/delta_depth [N, S] and return lattice_pos + ts_flat instead
+    (see MarchedSamples docstring) — budget-compacted callers gather t
+    at their M compacted slots directly.
     """
     N = rays_o.shape[0]
     S = rspec.max_samples
@@ -479,7 +510,17 @@ def march_rays(
         dts = jnp.full_like(ts, dt_min)
         lattice_valid = None
     elif use_probe_mc:
-        ts, dts = _t_lattice(t0, rspec)  # [N, L]
+        # scan-native [L, N] kept around so lazy_t can gather t at the
+        # compacted slots from a FREE flatten (k*N + n) instead of the
+        # [N, L]-lane quad repack the eager t_out pays below
+        if rspec.dt_gamma == 0.0:
+            k_ln = jnp.arange(L, dtype=jnp.float32)
+            ts_ln = t0[None, :] + k_ln[:, None] * dt_min
+            ts = t0[:, None] + k_ln[None, :] * dt_min  # no transpose
+        else:
+            ts_ln = _t_lattice_ln(t0, rspec)
+            ts = ts_ln.T  # [N, L]
+        dts = _dt_from_t(ts, jnp.bool_(True), rspec)
         occ = _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts,
                                   fars, rspec)
         lattice_valid = None
@@ -527,6 +568,14 @@ def march_rays(
             mask = jnp.pad(mask, ((0, 0), (0, S - L_occ)))
     else:
         pos_c, mask = _compact_first_k(occ, S)
+    if use_probe_mc and lazy_t:
+        # budget-compacted callers never touch t/dt/delta_depth at [N, S]:
+        # render_rays gathers t at its M compacted slots from ts_flat
+        # (t of lattice point k of ray n at ts_flat[k*N + n]) and dt is
+        # the exact closed form of t (_dt_from_t)
+        return MarchedSamples(t=None, dt=None, delta_depth=None, mask=mask,
+                              t0=t0, lattice_pos=pos_c,
+                              ts_flat=ts_ln.reshape(-1))
     if use_probe:
         # probe-mode ts is affine in the lattice index: reconstruct instead
         # of gathering (2x [N, S]<-[N, L] take_along_axis was the march's
@@ -593,6 +642,7 @@ def render_rays(
     early_stop: bool = False,
     inherited: Optional[MarchedSamples] = None,
     inherited_compact: Optional[CompactInfo] = None,
+    inherited_t_c: Optional[jnp.ndarray] = None,
 ):
     """Full occupancy-grid render (reference run_cuda, renderer.py:319-556).
 
@@ -614,17 +664,21 @@ def render_rays(
     aabb = occ.aabb_train if training else occ.aabb_infer
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, rspec.min_near)
 
+    N = rays_o.shape[0]
+    budget = rspec.sample_budget(N)
     if inherited is None:
         samples = march_rays(
             occ.bitfield, rays_o, rays_d, nears, fars, rspec, perturb_key,
             bitfield_dilated=occ.bitfield_dilated,
             neighbor_masks=occ.neighbor_masks,
+            # lazy t materialization pays off only when the budget
+            # compaction consumes t at M << N*S slots (MC probe path)
+            lazy_t=budget > 0,
         )
     else:
         samples = inherited
 
-    N, S = samples.t.shape
-    budget = rspec.sample_budget(N)
+    S = samples.mask.shape[1]
     compact = None
     if budget:
         compact = (inherited_compact if inherited_compact is not None
@@ -654,7 +708,17 @@ def render_rays(
         # [N*S, 2] stack+gather paid a 64x tile-padding copy (minor dim 2
         # vs the (8,128) TPU tile; traced 0.41 ms/step as copy+gather).
         M = compact.idx.shape[0]
-        t_c = samples.t.reshape(-1)[compact.idx]
+        if inherited_t_c is not None:
+            # distillation teacher replay: the student already gathered
+            # t at these exact compacted slots — reuse it
+            t_c = inherited_t_c
+        elif samples.lattice_pos is not None:
+            # lazy march: gather t ONLY at the M compacted slots (the
+            # [N, S] t block never materialized — see MarchedSamples)
+            lat_c = samples.lattice_pos.reshape(-1)[compact.idx]
+            t_c = samples.ts_flat[lat_c * N + compact.ray_id]
+        else:
+            t_c = samples.t.reshape(-1)[compact.idx]
         od = jnp.concatenate(
             [rays_o, rays_d, samples.t0[:, None]], axis=-1)[compact.ray_id]
         o_c, d_c, t0_c = od[:, :3], od[:, 3:6], od[:, 6]
@@ -666,6 +730,9 @@ def render_rays(
             fea_sc=out_f.fea_sc,
             rgb_l=out_f.rgb,
             mask=compact.valid,
+            # the compacted-slot t values, for inherited_t_c reuse by the
+            # distillation teacher replay (skips its own M-row gather)
+            compact_t=t_c,
             # budget utilisation (can exceed 1 pre-cap: truncation)
             compact_frac=compact.total.astype(jnp.float32) / M,
         )

@@ -567,3 +567,70 @@ def test_pack_supercells_matches_bruteforce():
                 exp[..., bit // 32] |= (
                     v.astype(np.uint32) << np.uint32(bit % 32))
     assert (out == exp).all(), "supercell packer mismatch"
+
+
+def test_lazy_t_march_matches_eager_through_render_rays():
+    """The lazy-t MC-probe march (march_rays(lazy_t=True): lattice_pos +
+    ts_flat instead of materialized t/dt/delta_depth [N, S]) must render
+    IDENTICALLY to the eager march on the budget-compacted path —
+    render_rays gathers t at the M compacted slots from ts_flat, and the
+    eager path gathers from the materialized block; both read the same
+    _t_lattice values."""
+    from pvd_tpu.render.renderer import compact_samples
+
+    rspec, H, C, bf, o, d, nears, fars = _c2_setup()
+    rspec = dataclasses.replace(rspec, samples_per_ray=8.0)
+    occ = set_bitfield(init_occupancy_state(rspec), jnp.asarray(bf))
+    spec = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
+                     hash_desired_res=64)
+    params = init_field(jax.random.PRNGKey(0), spec)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    # lazy path = render_rays' own march (budget > 0 => lazy_t=True)
+    out_lazy = render_rays(params, spec, rspec, occ, oj, dj,
+                           training=True, bg_color=0.3)
+    assert out_lazy["samples"].t is None  # really took the lazy path
+    assert out_lazy["samples"].lattice_pos is not None
+
+    # eager path: march explicitly with lazy_t=False, inherit into render
+    eager = march_rays(occ.bitfield, oj, dj, nears, fars, rspec,
+                       bitfield_dilated=occ.bitfield_dilated,
+                       neighbor_masks=occ.neighbor_masks, lazy_t=False)
+    budget = rspec.sample_budget(len(o))
+    compact = compact_samples(eager.mask, budget,
+                              prefix=rspec.max_samples < rspec.max_steps)
+    out_eager = render_rays(params, spec, rspec, occ, oj, dj,
+                            training=True, bg_color=0.3,
+                            inherited=eager, inherited_compact=compact)
+
+    np.testing.assert_array_equal(np.asarray(out_lazy["samples"].mask),
+                                  np.asarray(eager.mask))
+    # compacted-slot t bitwise equal at VALID slots (invalid slots are
+    # masked everywhere downstream and may hold 0 vs a lattice t)
+    v = np.asarray(out_lazy["compact"].valid)
+    t_l = np.asarray(out_lazy["compact_t"])
+    t_e = np.asarray(out_eager["compact_t"])
+    np.testing.assert_array_equal(t_l[v], t_e[v])
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(out_lazy[k]),
+                                   np.asarray(out_eager[k]),
+                                   rtol=0, atol=0, err_msg=k)
+
+    # teacher-replay shortcut: inherited_t_c (the student's compacted t)
+    # must give the teacher the same render as re-gathering itself
+    spec_t = ModelSpec(model_type="hash", bound=2.0, hash_num_levels=4,
+                       hash_desired_res=32)
+    params_t = init_field(jax.random.PRNGKey(1), spec_t)
+    rep_a = render_rays(params_t, spec_t, rspec, occ, oj, dj,
+                        training=True, bg_color=0.3,
+                        inherited=out_lazy["samples"],
+                        inherited_compact=out_lazy["compact"],
+                        inherited_t_c=out_lazy["compact_t"])
+    rep_b = render_rays(params_t, spec_t, rspec, occ, oj, dj,
+                        training=True, bg_color=0.3,
+                        inherited=out_lazy["samples"],
+                        inherited_compact=out_lazy["compact"])
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(rep_a[k]),
+                                   np.asarray(rep_b[k]),
+                                   rtol=0, atol=0, err_msg=k)
