@@ -358,6 +358,7 @@ def make_teacher_step_host(
     image_channels: int,
     ema_decay: float = -1.0,
     use_error_map: bool = False,
+    scan_steps: int = 0,
 ):
     """Teacher step fed by host-side batches (preload=False path).
 
@@ -370,6 +371,18 @@ def make_teacher_step_host(
     the step instead returns (state, per_ray [N] stop-gradient losses,
     metrics) and the caller applies the reference's 0.1/0.9 EMA cell
     update (distill_mutual/utils.py:1125-1133) to its host-resident map.
+
+    scan_steps > 0 returns instead step(state, poses [K,4,4],
+    inds [K,N], pix [K,N,C], key) -> (state, per_ray [K,N], logs [K])
+    running K optimizer steps in one lax.scan dispatch — the host draws
+    all K batches up front (with use_error_map, from the map as of chunk
+    start: the EMA cell lag grows from the single-step path's 1 step to
+    at most K; the map is a heavily-smoothed 0.1/0.9 EMA over 16K cells,
+    so a K=8 lag is a negligible sampler perturbation) and applies the K
+    returned per-ray loss rows to its host map in step order.  RNG
+    contract matches every other scan flavor: step j's key is
+    fold_in(caller_key, state.step at j), so K fused steps with a
+    constant caller key reproduce K single host steps bitwise.
     """
     from pvd_tpu.ops.rays import pixel_dirs
 
@@ -380,8 +393,7 @@ def make_teacher_step_host(
                                             rays_o, rays_d, gt, bg, key)
         return loss, (out, per_ray)
 
-    @jax.jit
-    def step(state: TrainState, pose, inds, pix, key):
+    def _core(state: TrainState, pose, inds, pix, key):
         key = jax.random.fold_in(key, state.step)  # constant-key callers ok
         k_bg, k_perturb = jax.random.split(key)
         dirs_cam = pixel_dirs(intr, inds, H, W)
@@ -414,8 +426,28 @@ def make_teacher_step_host(
             metrics["compact_frac"] = out["compact_frac"]
         new_state = state.replace(params=params, opt_state=opt_state,
                                   step=state.step + 1, ema_params=ema)
+        return new_state, jax.lax.stop_gradient(per_ray), metrics
+
+    if scan_steps > 0:
+        # NOTE: no donate_argnums (axon buffer-donation limitation)
+        @jax.jit
+        def step_scan_host(state: TrainState, poses, inds_k, pix_k, key):
+            def body(st, inp):
+                pose_i, inds_i, pix_i = inp
+                st, per_ray, metrics = _core(st, pose_i, inds_i, pix_i, key)
+                return st, (per_ray, metrics)
+
+            state, (per_rays, logs) = jax.lax.scan(
+                body, state, (poses, inds_k, pix_k))
+            return state, per_rays, logs
+
+        return step_scan_host
+
+    @jax.jit
+    def step(state: TrainState, pose, inds, pix, key):
+        new_state, per_ray, metrics = _core(state, pose, inds, pix, key)
         if use_error_map:
-            return new_state, jax.lax.stop_gradient(per_ray), metrics
+            return new_state, per_ray, metrics
         return new_state, metrics
 
     return step

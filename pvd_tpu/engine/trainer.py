@@ -323,14 +323,16 @@ class Trainer:
         upsample, and it fits in both the epoch and the run.  Chunks start
         only at multiples of K so they stay aligned with the tick cadence.
 
-        A device-resident error map is compatible (it rides the scan carry);
-        only the HOST-resident map of the host-batcher path (numpy — the
-        importance draw selects which pixels the host gathers) forces
-        single steps.
+        A device-resident error map is compatible (it rides the scan carry).
+        The HOST-resident map of the host-batcher path is too: all K
+        importance draws happen up front from the map as of chunk start
+        (EMA cell lag <= K steps vs the single-step path's 1 — the map is
+        a heavily-smoothed 0.1/0.9 EMA over 16K cells, so the sampler
+        perturbation is negligible; the K per-ray loss rows apply to the
+        host map in step order when the NEXT chunk resolves them).
         """
         K = self.cfg.scan_steps
-        if (K <= 1 or self.mode not in ("distill", "teacher")
-                or isinstance(self.error_map, np.ndarray)):
+        if K <= 1 or self.mode not in ("distill", "teacher"):
             return 1
         if step % K != 0 or left_in_epoch < K or step + K > total:
             return 1
@@ -708,27 +710,77 @@ class Trainer:
                     from pvd_tpu.engine.train_steps import (
                         make_teacher_step_host,
                     )
+                    from pvd_tpu.ops.rays import draw_error_map_inds_np
 
+                    use_emap = self.error_map is not None
+                    # resolve the PREVIOUS dispatch's per-ray losses (the
+                    # async D2H has overlapped its device work) and
+                    # EMA-update the host map in step order before drawing
+                    if use_emap and pending_emap is not None:
+                        p_draws, p_loss = pending_emap
+                        vals = np.asarray(p_loss, np.float32).reshape(
+                            len(p_draws), -1)
+                        for (p_idx, p_coarse), v in zip(p_draws, vals):
+                            row = self.error_map[p_idx]
+                            row[p_coarse] = 0.1 * row[p_coarse] + 0.9 * v
+                        pending_emap = None
+                    K = self._scan_chunk_len(
+                        step, stage, total, steps_this_epoch - done_in_epoch)
+                    if K > 1:
+                        # scan-fused host-batcher chunk: all K draws use the
+                        # map as of chunk start (lag <= K; see
+                        # _scan_chunk_len docstring)
+                        key2 = ("host_scan", H, W, C, K, use_emap)
+                        if key2 not in self._steps:
+                            self._steps[key2] = make_teacher_step_host(
+                                self.spec_stu, self.rspec, self.opt,
+                                self.cfg, intr, H, W, image_channels=C,
+                                ema_decay=self.cfg.ema_decay,
+                                use_error_map=use_emap, scan_steps=K,
+                            )
+                        idxs, inds_l, pix_l, draws = [], [], [], []
+                        for _ in range(K):
+                            if use_emap:
+                                idx_j = int(rng_np.integers(0, len(poses)))
+                                inds_j, coarse_j = draw_error_map_inds_np(
+                                    rng_np, self.error_map[idx_j], H, W,
+                                    cfg.num_rays)
+                                pix_j = batcher.gather(idx_j, inds_j)
+                                draws.append((idx_j, coarse_j))
+                            else:
+                                idx_j, inds_j, pix_j = batcher.next()
+                            idxs.append(idx_j)
+                            inds_l.append(inds_j)
+                            pix_l.append(pix_j)
+                        self.state, per_rays, logs_k = self._steps[key2](
+                            self.state, poses[jnp.asarray(idxs)],
+                            jnp.asarray(np.stack(inds_l)),
+                            jnp.asarray(np.stack(pix_l)), k_step,
+                        )
+                        if use_emap:
+                            try:
+                                per_rays.copy_to_host_async()
+                            except AttributeError:
+                                pass
+                            pending_emap = (draws, per_rays)
+                        metrics = {k: v[-1] for k, v in logs_k.items()}
+                        self._log_scan_chunk(logs_k, step, K, total, stage,
+                                             t_start)
+                        self._last_metrics = metrics
+                        if len(self._steps) != n_fns_before:
+                            self._t_compile += time.time() - t_iter
+                        step += K
+                        done_in_epoch += K
+                        continue
                     key2 = ("host", H, W, C)
                     if key2 not in self._steps:
                         self._steps[key2] = make_teacher_step_host(
                             self.spec_stu, self.rspec, self.opt, self.cfg,
                             intr, H, W, image_channels=C,
                             ema_decay=self.cfg.ema_decay,
-                            use_error_map=self.error_map is not None,
+                            use_error_map=use_emap,
                         )
-                    if self.error_map is not None:
-                        from pvd_tpu.ops.rays import draw_error_map_inds_np
-
-                        # resolve the PREVIOUS step's per-ray losses (the
-                        # async D2H has overlapped that step's device work)
-                        # and EMA-update the host map before this draw
-                        if pending_emap is not None:
-                            p_idx, p_coarse, p_loss = pending_emap
-                            vals = np.asarray(p_loss, np.float32)
-                            row = self.error_map[p_idx]
-                            row[p_coarse] = 0.1 * row[p_coarse] + 0.9 * vals
-                            pending_emap = None
+                    if use_emap:
                         inds, coarse = draw_error_map_inds_np(
                             rng_np, self.error_map[idx], H, W, cfg.num_rays)
                         pix = batcher.gather(idx, inds)
@@ -740,7 +792,7 @@ class Trainer:
                             per_ray.copy_to_host_async()
                         except AttributeError:
                             pass
-                        pending_emap = (idx, coarse, per_ray)
+                        pending_emap = ([(idx, coarse)], per_ray)
                     else:
                         idx, inds, pix = batcher.next()
                         self.state, metrics = self._steps[key2](

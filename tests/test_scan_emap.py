@@ -226,3 +226,82 @@ def test_trainer_wires_scan_with_error_map(tmp_path_factory):
     assert (em < 0.999).any() and np.isfinite(em).all()
     tr.close()
     tea.close()
+
+
+def test_host_scan_matches_k_single_host_steps():
+    """Host-batcher flavor (round-4 VERDICT item 7): K fused host steps
+    (make_teacher_step_host(scan_steps=K)) with a constant caller key ==
+    K single host steps given the SAME drawn batches — identical final
+    params and identical per-ray loss rows (the host applies those rows
+    to its map, so row equality implies map equality)."""
+    from pvd_tpu.engine.train_steps import make_teacher_step_host
+
+    (cfg, rspec, _, _, _, occ, _, _, poses, _) = _setup()
+    spec = ModelSpec(model_type="hash", hash_num_levels=6,
+                     hash_desired_res=128)
+    params = init_field(jax.random.PRNGKey(5), spec)
+    opt = build_optimizer(
+        params, label_fn=param_group_label(spec),
+        trainable_fn=trainable_label(spec, ""),
+        schedule_main=cosine_schedule(1e-2, 100),
+        schedule_lr2=cosine_schedule(1e-3, 100),
+    )
+    state = TrainState(params=params, opt_state=opt.init(params), occ=occ,
+                       step=jnp.int32(0))
+    common = dict(intrinsics=INTR, H=H, W=W, image_channels=4,
+                  use_error_map=True)
+    single = make_teacher_step_host(spec, rspec, opt, cfg, **common)
+    fused = make_teacher_step_host(spec, rspec, opt, cfg, scan_steps=K,
+                                   **common)
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(3)
+    idxs = rng.integers(0, N_POSES, K)
+    inds_k = jnp.asarray(rng.integers(0, H * W, (K, cfg.num_rays)),
+                         jnp.int32)
+    pix_k = jnp.asarray(rng.random((K, cfg.num_rays, 4)), jnp.float32)
+
+    st_a = state
+    rows_a = []
+    for j in range(K):
+        st_a, per_ray, _ = single(st_a, poses[int(idxs[j])], inds_k[j],
+                                  pix_k[j], key)
+        rows_a.append(np.asarray(per_ray))
+
+    st_b, per_rays, logs_b = fused(state, poses[jnp.asarray(idxs)],
+                                   inds_k, pix_k, key)
+
+    assert int(st_a.step) == int(st_b.step) == K
+    _leaves_allclose(st_a.params, st_b.params, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(per_rays), np.stack(rows_a),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(logs_b["loss"])).all()
+
+
+def test_trainer_wires_host_scan_with_error_map(tmp_path_factory):
+    """End-to-end: a teacher Trainer with preload=False (host batcher),
+    error_map AND scan_steps must take the fused host path
+    ("host_scan" cache key) and update the host-resident map."""
+    from pvd_tpu.data.provider import NeRFDataset
+    from pvd_tpu.data.synth import make_synthetic_scene
+    from pvd_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path_factory.mktemp("synth_scene_hs"))
+    make_synthetic_scene(root, n_train=8, n_val=2, n_test=2, H=40, W=40)
+
+    ws = str(tmp_path_factory.mktemp("ws_tea_hs"))
+    cfg = PVDConfig(
+        path=root, workspace=ws, iters=32, num_rays=128, grid_size=32,
+        max_steps=128, max_samples=32, update_extra_interval=16,
+        max_ray_batch=1024, density_thresh=0.01, lr=1e-2, seed=0,
+        model_type="hash", preload=False, error_map=True, scan_steps=4,
+    )
+    tr = Trainer(cfg, mode="teacher")
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 32
+    host_scan_keys = [k for k in tr._steps if k[0] == "host_scan"]
+    assert host_scan_keys and all(k[-2] == 4 for k in host_scan_keys), \
+        list(tr._steps)
+    assert isinstance(tr.error_map, np.ndarray)
+    em = tr.error_map
+    assert (em < 0.999).any() and np.isfinite(em).all()
+    tr.close()
