@@ -337,9 +337,24 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     H = rspec.grid_size
     C = rspec.cascades
     S = H // SUPER_G
-    # +-(F//2) steps, each <= sqrt(3) cells per axis in the selected
-    # mip's frame -> floor-cell delta <= ceil(sqrt(3)*F//2) <= SUPER_D
-    F = 2 * int(SUPER_D / SQRT3) + 1  # 7
+    # Window width: the mip-select rule (raymarching.cu:44-56) puts dt in
+    # [cell/2, cell) of the SELECTED mip (frexp semantics), and a window's
+    # dts all share the probe's lvl_dt up to the (1+dt_gamma)^(F//2)
+    # recurrence drift — so each step moves < 1 probe-mip cell per axis
+    # and the largest odd F with (F//2)*(1+g)^(F//2) <= SUPER_D keeps
+    # every same-mip point inside the probe's apron (floor-cell delta
+    # <= ceil(distance) <= SUPER_D).  The one exception is a dt_max-CLAMPED
+    # window (top mip at t >= dt_max/dt_gamma, where dt reaches
+    # sqrt(3)*cell — r4's universal per-step bound): its points may leave
+    # the apron, land in `unres`, and resolve through the exact per-point
+    # override below (conservative past the Uw budget, never wrong).
+    # r4 used F = 2*int(SUPER_D/sqrt(3))+1 = 7 everywhere; the tighter
+    # bound nearly halves the probe-row gather (the march's top cost).
+    g = max(rspec.dt_gamma, 0.0)
+    half = SUPER_D
+    while half > 0 and half * (1.0 + g) ** half > SUPER_D:
+        half -= 1
+    F = 2 * half + 1  # 13 at dt_gamma=0, 11 at 1/256
     # W padded to a multiple of 8: the extraction where-chain falls off
     # a tiling cliff otherwise (187 ms vs 2 ms measured at 147 vs 152)
     W = -(-(-(-L // F)) // 8) * 8  # ceil(ceil(L/F) / 8) * 8
@@ -417,16 +432,20 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     unres = (~resolved) & live
     unres_w = jnp.any(unres, axis=-1)  # [N, W]
     pos_w, valid_w = _compact_first_k(unres_w, Uw)  # [N, Uw] window idx
-    kidx = (pos_w[..., None] * F
-            + jnp.arange(F, dtype=jnp.int32)).reshape(N, Uw * F)
-    # flat 1-D gather of t only (~210M rows/s vs take_along_axis ~89M);
-    # dt is the exact closed form of t on the lattice (_dt_from_t).  For
-    # the padded tail (t=3e38, stored dt=1.0) the recomputed dt_max
-    # differs from the stored value, but those points sit past every far
-    # clip AND past index L, so their override bits are discarded by the
-    # final [:, :L] slice either way.
-    flat_u = jnp.arange(N, dtype=jnp.int32)[:, None] * ts.shape[1] + kidx
-    t_u = ts.reshape(-1)[flat_u.reshape(-1)].reshape(N, Uw * F)
+    # the override's t values are exactly WINDOW-ALIGNED rows of the
+    # lattice: ts viewed as [N*W, F] holds window w of ray n at row
+    # n*W + w, so ONE gather of N*Uw F-float rows replaces the r4
+    # per-point flat gather of N*Uw*F 4B rows (4B rows run at ~140M
+    # rows/s — traced 0.84 ms/step on the cascade config; this is
+    # ~16K 44B rows, noise).  dt is the exact closed form of t on the
+    # lattice (_dt_from_t).  For the padded tail (t=3e38, stored
+    # dt=1.0) the recomputed dt_max differs from the stored value, but
+    # those points sit past every far clip AND past index L, so their
+    # override bits are discarded by the final [:, :L] slice either way.
+    rows_u = (jnp.arange(N, dtype=jnp.int32)[:, None] * W
+              + pos_w).reshape(-1)  # [N*Uw]
+    t_u = jnp.take(ts.reshape(N * W, F), rows_u, axis=0,
+                   mode="clip").reshape(N, Uw * F)
     dt_u = _dt_from_t(t_u, jnp.bool_(True), rspec)
     p_u = jnp.clip(rays_o[:, None, :] + t_u[..., None] * rays_d[:, None, :],
                    -rspec.bound, rspec.bound)
