@@ -52,40 +52,50 @@ class OccupancyState:
 # TABLE size, not row width — a [2*128^3, 16B] table gathers ~145-160M
 # rows/s and collapses to 27-69M at wider rows, while a [2*32^3, 512B]
 # table holds ~547M rows/s.  So the masks are keyed by 4^3 SUPERCELLS
-# (rows = C*(H/4)^3, ~66K at H=128) with one 16^3-bit row each: bit
-# (oz*256 + oy*16 + ox) of supercell s holds the occupancy of fine cell
-# 4*s + (ox,oy,oz) - D, i.e. the supercell plus a D=6-cell apron.  The
-# 16^3 layout is exactly 128 uint32 words with word-aligned strips
-# (word = oz*8 + oy>>1, bit = (oy&1)*16 + ox), so rows build by pure
-# strided slicing.  Reach: a probe at fine cell c (supercell c>>2)
-# resolves any point within +-D cells of c, hence
-#  - single-cascade probe march: stride clamp at half-span <= D cells
-#    -> stride 32 at the default 1024-step lattice (W=32 probes/ray);
-#  - MC march: 1 step moves <= sqrt(3) cells in the selected mip's
-#    frame (raymarching.cu:44-56 bounds dt by the mip cell, x sqrt(3)
-#    at the top mip), so +-3 steps stay within floor-delta 6 -> a
-#    7-point window per probe (W padded to a multiple of 8: the
-#    extraction where-chain falls off a tiling cliff otherwise,
-#    187 ms vs 2 ms measured at W=147 vs 152).
+# (rows = C*(H/4)^3, ~66K at H=128) with one side^3-bit row each
+# (side = 4 + 2*D): bit (oz*(side//2)*32 + oy*16 + ox) of supercell s
+# holds the occupancy of fine cell 4*s + (ox,oy,oz) - D, i.e. the
+# supercell plus a D-cell apron.  The layout is word-aligned strips
+# (word = oz*(side//2) + oy>>1, bit = (oy&1)*16 + ox), so rows build by
+# pure strided slicing.  Reach: a probe at fine cell c (supercell c>>2)
+# resolves any point within +-D cells of c.  The apron D is PER-FLAVOR —
+# the march's bit-select where-chain costs ~(word count) VPU ops per
+# lattice point, so each flavor gets the smallest apron its window
+# geometry needs:
+#  - single-cascade probe march: steps are exactly dt_min = 0.216 cells
+#    (grid 128, 1024-step lattice), so the stride-32 window half-span is
+#    16*dt_min = 3.46 cells -> D = 4 (12^3 apron, 72 words/row) — the
+#    r4 D=6/16^3/128-word apron spent ~0.7 ms/step more on the chain;
+#  - MC march: dt < 1 selected-mip cell per step (renderer's F bound),
+#    +-5 steps with recurrence drift -> D = 6 (16^3, 128 words).
+#    (W padded to a multiple of 8: the extraction where-chain falls off
+#    a tiling cliff otherwise, 187 ms vs 2 ms measured at W=147 vs 152.)
 SUPER_G = 4  # supercell edge, fine cells
-SUPER_D = 6  # apron reach, fine cells
-SUPER_SIDE = SUPER_G + 2 * SUPER_D  # 16
-NB_WORDS = SUPER_SIDE ** 3 // 32  # 128 (512B rows)
-MC_WORDS = NB_WORDS
+SUPER_D = 4  # single-cascade apron reach, fine cells
+SUPER_SIDE = SUPER_G + 2 * SUPER_D  # 12
+NB_WORDS = SUPER_SIDE * (SUPER_SIDE // 2)  # 72 u32 (288B rows)
+MC_D = 6  # multi-cascade apron reach
+MC_SIDE = SUPER_G + 2 * MC_D  # 16
+MC_WORDS = MC_SIDE * (MC_SIDE // 2)  # 128 u32 (512B rows)
 
 
-def _pack_supercells(g):
-    """Pack per-supercell occupancy aprons into 16^3-bit rows.
+def _pack_supercells(g, D=SUPER_D):
+    """Pack per-supercell occupancy aprons into side^3-bit rows
+    (side = SUPER_G + 2*D).
 
     g: bool [..., H, H, H] with H % SUPER_G == 0; returns uint32
-    [..., S, S, S, NB_WORDS] (S = H // 4) where bit oz*256 + oy*16 + ox
-    of supercell s holds g[4*s + (ox,oy,oz) - SUPER_D] (zero outside).
-    The layout is word-aligned (16-bit x-strips, 2 per word, 8 words per
-    z-plane): word = oz*8 + oy>>1, bit = (oy&1)*16 + ox — so the build
+    [..., S, S, S, side^2*(side//2)/...] (S = H // 4) where bit
+    oz*(side//2)*32 + oy*16 + ox of supercell s holds
+    g[4*s + (ox,oy,oz) - D] (zero outside).  The layout is word-aligned
+    (16-bit x-strips, 2 per word, side//2 words per z-plane):
+    word = oz*(side//2) + oy>>1, bit = (oy&1)*16 + ox — so the build
     is pure strided slicing with a single 16-bit shift per strip pair,
     and the march extracts bits without cross-word arithmetic.
+    (side <= 16 so an x-strip fits a 16-bit half-word.)
     """
-    G, D, side = SUPER_G, SUPER_D, SUPER_SIDE
+    G, side = SUPER_G, SUPER_G + 2 * D
+    assert side <= 16 and side % 2 == 0
+    wpp = side // 2  # words per z-plane
     H = g.shape[-1]
     S = H // G
     nb = g.ndim - 3
@@ -102,18 +112,19 @@ def _pack_supercells(g):
         strides[axis] = G
         return lax.slice(a, start, limit, strides)
 
-    # x-strips: 16 occupancy bits along x in one word's low half
+    # x-strips: occupancy bits along x in one word's low half
     st = None
     for ox in range(side):
         t = strided(gp, 0, ox).astype(jnp.uint32) << jnp.uint32(ox)
         st = t if st is None else st | t
-    # y: two 16-bit strips per word -> 8 words per z-plane
+    # y: two 16-bit strips per word -> side//2 words per z-plane
     planes = [
         strided(st, 1, 2 * j) | (strided(st, 1, 2 * j + 1) << jnp.uint32(16))
-        for j in range(8)
+        for j in range(wpp)
     ]
-    # z: 16 plane slices x 8 words, in word order oz*8 + j
-    words = [strided(planes[j], 2, oz) for oz in range(side) for j in range(8)]
+    # z: side plane slices x side//2 words, in word order oz*wpp + j
+    words = [strided(planes[j], 2, oz)
+             for oz in range(side) for j in range(wpp)]
     return jnp.stack(words, axis=-1)
 
 
@@ -150,7 +161,7 @@ def build_neighbor_masks_mc(bitfield, H: int):
         return jnp.zeros((1, MC_WORDS), jnp.uint32)
     g = bitfield.reshape(C, H, H, H)
     S = H // SUPER_G
-    masks = _pack_supercells(g).reshape(C * S * S * S, MC_WORDS)
+    masks = _pack_supercells(g, D=MC_D).reshape(C * S * S * S, MC_WORDS)
     return jnp.concatenate(
         [masks, jnp.zeros((1, MC_WORDS), jnp.uint32)], axis=0)
 

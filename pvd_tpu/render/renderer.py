@@ -47,6 +47,8 @@ from pvd_tpu.ops.composite import (
 )
 from pvd_tpu.ops.sampling import sample_pdf, stratified_z_vals
 from pvd_tpu.render.occupancy import (
+    MC_D,
+    MC_SIDE,
     SUPER_D,
     SUPER_G,
     SUPER_SIDE,
@@ -56,15 +58,18 @@ from pvd_tpu.render.occupancy import (
 SQRT3 = math.sqrt(3.0)
 
 
-def _super_mask_bit(masks, off):
+def _super_mask_bit(masks, off, side=SUPER_SIDE):
     """Occupancy bit of fine-cell offset `off` [..., W, F, 3] (values in
-    [0, 16)) from gathered supercell apron rows `masks` [..., W, nw]:
-    word = oz*8 + oy>>1, bit = (oy&1)*16 + ox (occupancy._pack_supercells
-    layout).  The word select is an nw-long where-chain — vectorized
-    selects that fuse with the gather; keep W a multiple of 8 (a
-    [4096,147,7] operand measured 187 ms vs 2 ms at W=152: tiling cliff).
+    [0, side)) from gathered supercell apron rows `masks` [..., W, nw]:
+    word = oz*(side//2) + oy>>1, bit = (oy&1)*16 + ox
+    (occupancy._pack_supercells layout).  The word select is an nw-long
+    where-chain — vectorized selects that fuse with the gather; its cost
+    is ~nw VPU ops per lattice point, which is why each march flavor
+    packs the smallest apron its window geometry needs (occupancy.py
+    SUPER_D vs MC_D).  Keep W a multiple of 8 (a [4096,147,7] operand
+    measured 187 ms vs 2 ms at W=152: tiling cliff).
     """
-    word_i = (off[..., 2] << 3) + (off[..., 1] >> 1)
+    word_i = off[..., 2] * (side // 2) + (off[..., 1] >> 1)
     bit_i = (((off[..., 1] & 1) << 4) + off[..., 0]).astype(jnp.uint32)
     word = jnp.zeros(word_i.shape, jnp.uint32)
     for q in range(masks.shape[-1]):
@@ -316,10 +321,10 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     Each window of 7 points probes at its middle point; a fine point is
     resolved from the probe supercell's 16^3-bit apron row when (a) its
     mip equals the probe's mip and (b) its cell lies within the apron
-    (probe supercell +- SUPER_D cells) in that mip's frame.  The mip
+    (probe supercell +- MC_D cells) in that mip's frame.  The mip
     rule (raymarching.cu:44-56) bounds a step by the selected mip's cell
     size (x sqrt(3) at the top mip), so a +-3-step point moves
-    <= 3*sqrt(3) cells -> floor-cell delta <= 6 = SUPER_D: every
+    <= 3*sqrt(3) cells -> floor-cell delta <= 6 = MC_D: every
     same-mip point resolves exactly, including the top-mip dt_max
     overrun.  Cross-mip points (a mip transition inside the window) get
     an EXACT per-point lookup through a first-U-per-ray compaction (see
@@ -341,18 +346,18 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # [cell/2, cell) of the SELECTED mip (frexp semantics), and a window's
     # dts all share the probe's lvl_dt up to the (1+dt_gamma)^(F//2)
     # recurrence drift — so each step moves < 1 probe-mip cell per axis
-    # and the largest odd F with (F//2)*(1+g)^(F//2) <= SUPER_D keeps
+    # and the largest odd F with (F//2)*(1+g)^(F//2) <= MC_D keeps
     # every same-mip point inside the probe's apron (floor-cell delta
-    # <= ceil(distance) <= SUPER_D).  The one exception is a dt_max-CLAMPED
+    # <= ceil(distance) <= MC_D).  The one exception is a dt_max-CLAMPED
     # window (top mip at t >= dt_max/dt_gamma, where dt reaches
     # sqrt(3)*cell — r4's universal per-step bound): its points may leave
     # the apron, land in `unres`, and resolve through the exact per-point
     # override below (conservative past the Uw budget, never wrong).
-    # r4 used F = 2*int(SUPER_D/sqrt(3))+1 = 7 everywhere; the tighter
+    # r4 used F = 2*int(MC_D/sqrt(3))+1 = 7 everywhere; the tighter
     # bound nearly halves the probe-row gather (the march's top cost).
     g = max(rspec.dt_gamma, 0.0)
-    half = SUPER_D
-    while half > 0 and half * (1.0 + g) ** half > SUPER_D:
+    half = MC_D
+    while half > 0 and half * (1.0 + g) ** half > MC_D:
         half -= 1
     F = 2 * half + 1  # 13 at dt_gamma=0, 11 at 1/256
     # W padded to a multiple of 8: the extraction where-chain falls off
@@ -410,10 +415,11 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # the +-(F//2)-step window still holds on clipped cells.
     n_k = jnp.clip((0.5 * (pos / mb_p[:, :, None, :] + 1.0) * H)
                    .astype(jnp.int32), 0, H - 1)
-    off = n_k - (sc_p[:, :, None, :] << 2) + SUPER_D  # apron-frame offset
-    inside = jnp.all((off >= 0) & (off < SUPER_SIDE), axis=-1)  # [N, W, F]
+    off = n_k - (sc_p[:, :, None, :] << 2) + MC_D  # apron-frame offset
+    inside = jnp.all((off >= 0) & (off < MC_SIDE), axis=-1)  # [N, W, F]
     resolved = inside & (lvl_k == lvl_p[..., None])
-    occ_bit = _super_mask_bit(masks, jnp.clip(off, 0, SUPER_SIDE - 1))
+    occ_bit = _super_mask_bit(masks, jnp.clip(off, 0, MC_SIDE - 1),
+                              side=MC_SIDE)
 
     # Cross-mip (unresolved) points: EXACT per-point lookup.  lvl(t)
     # changes only O(cascades) times per ray (lvl_dt is nondecreasing;
@@ -461,8 +467,9 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # the point's OWN cell bit in its own supercell row: offset
     # (n_u & 3) + D per axis (varies per point, unlike the old
     # fixed-center per-cell layout)
-    off_u = (n_u & 3) + SUPER_D
-    b_u = (_super_mask_bit(m_u, off_u[:, :, None, :])[..., 0]
+    off_u = (n_u & 3) + MC_D
+    b_u = (_super_mask_bit(m_u, off_u[:, :, None, :],
+                           side=MC_SIDE)[..., 0]
            & valid_w.repeat(F, axis=1)).reshape(N, Uw, F)
     at_w = (jnp.arange(W, dtype=jnp.int32)[None, :, None]
             == pos_w[:, None, :]) & valid_w[:, None, :]  # [N, W, Uw]

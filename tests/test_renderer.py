@@ -535,38 +535,36 @@ def test_probe_mc_through_render_rays():
 
 def test_pack_supercells_matches_bruteforce():
     """The strided supercell packer (occupancy._pack_supercells) is
-    bit-identical to the brute-force definition: bit oz*256+oy*16+ox of
-    supercell s is g[4*s + (ox,oy,oz) - SUPER_D] (zero outside), incl.
-    leading cascade dims."""
-    from pvd_tpu.render.occupancy import (
-        NB_WORDS,
-        SUPER_D,
-        SUPER_G,
-        SUPER_SIDE,
-        _pack_supercells,
-    )
+    bit-identical to the brute-force definition at BOTH apron reaches
+    (single-cascade D=SUPER_D and multi-cascade D=MC_D): bit
+    oz*side*16 + oy*16 + ox of supercell s is g[4*s + (ox,oy,oz) - D]
+    (zero outside), incl. leading cascade dims."""
+    from pvd_tpu.render.occupancy import MC_D, SUPER_D, SUPER_G, \
+        _pack_supercells
 
     rng = np.random.default_rng(0)
     H = 16
     S = H // SUPER_G
-    D = SUPER_D
     g = rng.random((2, H, H, H)) < 0.3
-    out = np.asarray(_pack_supercells(jnp.asarray(g)))
-    assert out.shape == (2, S, S, S, NB_WORDS)
-    exp = np.zeros((2, S, S, S, NB_WORDS), np.uint32)
-    gp = np.zeros((2, H + 2 * D, H + 2 * D, H + 2 * D), bool)
-    gp[:, D:H + D, D:H + D, D:H + D] = g
-    for oz in range(SUPER_SIDE):
-        for oy in range(SUPER_SIDE):
-            for ox in range(SUPER_SIDE):
-                bit = oz * 256 + oy * 16 + ox
-                v = gp[:,
-                       ox:ox + SUPER_G * (S - 1) + 1:SUPER_G,
-                       oy:oy + SUPER_G * (S - 1) + 1:SUPER_G,
-                       oz:oz + SUPER_G * (S - 1) + 1:SUPER_G]
-                exp[..., bit // 32] |= (
-                    v.astype(np.uint32) << np.uint32(bit % 32))
-    assert (out == exp).all(), "supercell packer mismatch"
+    for D in (SUPER_D, MC_D):
+        side = SUPER_G + 2 * D
+        nw = side * (side // 2)
+        out = np.asarray(_pack_supercells(jnp.asarray(g), D=D))
+        assert out.shape == (2, S, S, S, nw)
+        exp = np.zeros((2, S, S, S, nw), np.uint32)
+        gp = np.zeros((2, H + 2 * D, H + 2 * D, H + 2 * D), bool)
+        gp[:, D:H + D, D:H + D, D:H + D] = g
+        for oz in range(side):
+            for oy in range(side):
+                for ox in range(side):
+                    bit = (oz * side + oy) * 16 + ox
+                    v = gp[:,
+                           ox:ox + SUPER_G * (S - 1) + 1:SUPER_G,
+                           oy:oy + SUPER_G * (S - 1) + 1:SUPER_G,
+                           oz:oz + SUPER_G * (S - 1) + 1:SUPER_G]
+                    exp[..., bit // 32] |= (
+                        v.astype(np.uint32) << np.uint32(bit % 32))
+        assert (out == exp).all(), f"supercell packer mismatch at D={D}"
 
 
 def test_lazy_t_march_matches_eager_through_render_rays():
