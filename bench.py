@@ -318,6 +318,18 @@ def run_phases(res: dict, use_tpu: bool, on_update=None):
             res["cascade_vs_headline"] = round(rps_c / res["value"], 3)
         if on_update:
             on_update()
+        # scan-fused cascade (same production --scan_steps path as the
+        # headline's phase 4): amortizes the ~1.2 ms/step host+tunnel
+        # dispatch; kept only if faster
+        _, rps_cs = bench_config("cascade+scan(K=8)", cfg_c, iters=it4,
+                                 scan_steps=8, bake=bake)
+        if rps_cs > rps_c:
+            res["cascade_rays_per_sec"] = round(rps_cs, 1)
+            if res.get("value", 0.0) > 0:
+                res["cascade_vs_headline"] = round(
+                    rps_cs / res["value"], 3)
+            if on_update:
+                on_update()
     except Exception as e:
         log(f"cascade config FAILED: {type(e).__name__}: {e}")
 

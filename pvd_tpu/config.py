@@ -290,7 +290,15 @@ class PVDConfig:
             skip=self.skip,
             vm_resolution=(self.resolution0,) * 3,
             plenoxel_degree=self.plenoxel_degree,
-            plenoxel_res=tuple(self.plenoxel_res),
+            # plenoxel coarse-to-fine (round 5): with an upsample schedule
+            # the dense volume starts at resolution0^3 and trilinear-
+            # upsamples through the same log schedule VM students use
+            # (Trainer._maybe_vm_resize); plenoxel_res is the static
+            # (reference-default 128^3) resolution otherwise
+            plenoxel_res=((self.resolution0,) * 3
+                          if (self.model_type == "tensors"
+                              and self.upsample_model_steps)
+                          else tuple(self.plenoxel_res)),
             bg_radius=self.bg_radius,
         )
 

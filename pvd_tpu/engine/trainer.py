@@ -496,14 +496,35 @@ class Trainer:
             if self.mode == "distill" else None)
 
     def _maybe_vm_resize(self, step: int):
-        """Scheduled shrink+upsample for VM students (utils.py:682-704)."""
-        if self.spec_stu.model_type != "vm" or not self.upsample_steps:
+        """Scheduled shrink+upsample for VM students (utils.py:682-704).
+
+        model_type == 'tensors' runs the upsample half only (no shrink —
+        the reference never shrinks plenoxels): the dense volume
+        trilinear-upsamples through the same resolution0 -> resolution1
+        log schedule (coarse-to-fine lever for the dense no-MLP student's
+        distillation fit gap, round-5; tensors_field.upsample_params)."""
+        if self.spec_stu.model_type not in ("vm", "tensors") \
+                or not self.upsample_steps:
             return
         if step not in self.upsample_steps:
             return
         i = self.upsample_steps.index(step)
         target = self.upsample_resolutions[i] if i < len(
             self.upsample_resolutions) else None
+        if self.spec_stu.model_type == "tensors":
+            if target is not None:
+                from pvd_tpu.models.tensors_field import (
+                    upsample_params as plenoxel_upsample,
+                )
+
+                params = plenoxel_upsample(self.state.params,
+                                           (target,) * 3)
+                self.state = self.state.replace(
+                    params=params,
+                    opt_state=self.opt.init(params),
+                )
+                self.log(f"[plenoxel upsample] res -> {(target,) * 3}")
+            return
 
         # shrink to the occupied bounding box (network.py:589-643)
         occ = self.state.occ

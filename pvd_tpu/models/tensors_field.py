@@ -71,3 +71,31 @@ def edit_erase_region(params, region=((None, None), (160, None), (None, 128)),
     (d0, d1), (h0, h1), (w0, w1) = region
     sl = (slice(d0, d1), slice(h0, h1), slice(w0, w1), 0)
     return {**params, "volume": vol.at[sl].set(value)}
+
+
+def upsample_params(params, resolution):
+    """Trilinear-upsample the dense volume to `resolution` = (D, H, W).
+
+    The plenoxels coarse-to-fine lever: the reference's progressive
+    upsample machinery is VM-only (network.py:560-587), but the same
+    separable align_corners=True linear resize applies to the dense
+    volume — round-5 lever for the dense no-MLP student's distillation
+    fit-precision gap (a volume initialized coarse fits the teacher's
+    low frequencies first instead of per-voxel noise).
+
+    Host-side like vm_field.upsample_params: returns a NEW params pytree
+    with different shapes; the caller rebuilds optimizer state.
+    """
+    import numpy as np
+
+    from pvd_tpu.models.vm_field import _linear_resize_2d
+
+    vol = np.asarray(params["volume"])  # [D, H, W, C]
+    D, H, W, C = vol.shape
+    nD, nH, nW = int(resolution[0]), int(resolution[1]), int(resolution[2])
+    v = _linear_resize_2d(vol.reshape(D, H, W * C), (nD, nH))
+    v = v.reshape(nD * nH, W, C).transpose(1, 0, 2)  # [W, nD*nH, C]
+    v = _linear_resize_2d(v, (nW, nD * nH)).transpose(1, 0, 2)
+    out = dict(params)
+    out["volume"] = jnp.asarray(v.reshape(nD, nH, nW, C), jnp.float32)
+    return out

@@ -62,21 +62,27 @@ class OccupancyState:
 # the march's bit-select where-chain costs ~(word count) VPU ops per
 # lattice point, so each flavor gets the smallest apron its window
 # geometry needs:
-#  - single-cascade probe march: steps are exactly dt_min = 0.216 cells
-#    (grid 128, 1024-step lattice), so the stride-32 window half-span is
-#    16*dt_min = 3.46 cells -> D = 4 (12^3 apron, 72 words/row) — the
-#    r4 D=6/16^3/128-word apron spent ~0.7 ms/step more on the chain;
+#  - single-cascade probe march: stride clamp at half-span <= D cells
+#    -> stride 32 at the default 1024-step lattice (W=32 probes/ray);
 #  - MC march: dt < 1 selected-mip cell per step (renderer's F bound),
 #    +-5 steps with recurrence drift -> D = 6 (16^3, 128 words).
 #    (W padded to a multiple of 8: the extraction where-chain falls off
 #    a tiling cliff otherwise, 187 ms vs 2 ms measured at W=147 vs 152.)
 SUPER_G = 4  # supercell edge, fine cells
-SUPER_D = 4  # single-cascade apron reach, fine cells
-SUPER_SIDE = SUPER_G + 2 * SUPER_D  # 12
-NB_WORDS = SUPER_SIDE * (SUPER_SIDE // 2)  # 72 u32 (288B rows)
+# NOTE on apron sizing (round-5 negative result, keep D = 6): a D=4
+# (12^3, 72-word) single-cascade apron SHOULD cut the bit-select chain
+# 44%, and does in isolation (tools/micro_extract: 1.01 vs 1.27 ms at
+# tuned shapes) — but in the full step XLA refuses the r4 fusion shape
+# for it (72-lane minor tiles, then padded-row variant: one 4.3 ms
+# megafusion at the chain; step 10.0 -> 14.1 ms both ways).  The chain
+# is only profitable at exactly one full 128-lane u32 tile per row.
+SUPER_D = 6  # single-cascade apron reach, fine cells
+SUPER_SIDE = SUPER_G + 2 * SUPER_D  # 16
+NB_WORDS = SUPER_SIDE * (SUPER_SIDE // 2)  # 128 u32 (512B, tile-exact)
+NB_CHAIN = NB_WORDS
 MC_D = 6  # multi-cascade apron reach
 MC_SIDE = SUPER_G + 2 * MC_D  # 16
-MC_WORDS = MC_SIDE * (MC_SIDE // 2)  # 128 u32 (512B rows)
+MC_WORDS = MC_SIDE * (MC_SIDE // 2)  # 128 u32 (512B rows, tile-exact)
 
 
 def _pack_supercells(g, D=SUPER_D):

@@ -72,7 +72,10 @@ def _super_mask_bit(masks, off, side=SUPER_SIDE):
     word_i = off[..., 2] * (side // 2) + (off[..., 1] >> 1)
     bit_i = (((off[..., 1] & 1) << 4) + off[..., 0]).astype(jnp.uint32)
     word = jnp.zeros(word_i.shape, jnp.uint32)
-    for q in range(masks.shape[-1]):
+    # chain only the DATA words: rows are padded out to a full 128-lane
+    # u32 tile (occupancy.NB_WORDS note), but word_i never addresses the
+    # zero padding (side*(side//2) words carry all side^3 bits)
+    for q in range(min(side * (side // 2), masks.shape[-1])):
         word = jnp.where(word_i == q, masks[..., None, q], word)
     return ((word >> bit_i) & jnp.uint32(1)).astype(bool)
 

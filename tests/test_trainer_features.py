@@ -269,3 +269,37 @@ def test_scan_steps_fused_teacher(scene, tmp_path_factory):
     stats = tr.evaluate(NeRFDataset(cfg, "test"))
     assert np.isfinite(stats["psnr"]) and stats["psnr"] > 10.0
     tr.close()
+
+
+def test_plenoxel_upsample_wired_in_distill(scene, tmp_path_factory):
+    """--upsample_model_steps on a 'tensors' student runs the plenoxel
+    coarse-to-fine path (round 5): the dense volume starts at
+    resolution0^3 and trilinear-upsamples to the scheduled target
+    (no shrink — the reference never shrinks plenoxels)."""
+    ws_t = str(tmp_path_factory.mktemp("ws_tea_px"))
+    cfg_t = _cfg(scene, ws_t, model_type="hash", iters=30)
+    tea = Trainer(cfg_t, mode="teacher")
+    tea.train(NeRFDataset(cfg_t, "train"))
+    tea_path = ckpt.latest_checkpoint(
+        os.path.join(ws_t, "checkpoints"), "hash")
+
+    ws = str(tmp_path_factory.mktemp("ws_dis_px"))
+    cfg = _cfg(
+        scene, ws, model_type="tensors", teacher_type="hash", iters=20,
+        stage1_iters=0, stage2_iters=0, num_rays=128,
+        resolution0=16, resolution1=24, upsample_model_steps=(10,),
+    )
+    from pvd_tpu.cli.common import upsample_schedule
+
+    tr = Trainer(cfg, mode="distill")
+    tr.upsample_resolutions = upsample_schedule(cfg)
+    assert tr.upsample_resolutions == [24]
+    tr.load_teacher(tea_path)
+    # coarse start: the volume inits at resolution0^3, not plenoxel_res
+    assert tr.state.params["volume"].shape[:3] == (16, 16, 16)
+    tr.train(NeRFDataset(cfg, "train"))
+    assert int(tr.state.step) == 20
+    assert tr.state.params["volume"].shape[:3] == (24, 24, 24)
+    assert np.isfinite(np.asarray(tr.state.params["volume"])).all()
+    tr.close()
+    tea.close()

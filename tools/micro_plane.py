@@ -141,6 +141,25 @@ def main():
             out = out.at[i + off].add(w4[k][:, None] * g, mode="drop")
         return out
 
+    def bwd_I(i, w4, g):
+        # N-row scatter + 2x2 CONV fold on the MXU: the 4 corner blocks
+        # of the [H, W, 4R] scratch fold into [H, W, R] as a correlation
+        # with a constant 0/1 kernel (tap (1-dy, 1-dx) selects block
+        # dy*2+dx), so the three shifted adds become ONE conv dispatch
+        from jax import lax as _lax
+
+        scratch = scatter_only(i, w4, g).reshape(1, H, W, 4 * R)
+        ker = np.zeros((2, 2, 4 * R, R), np.float32)
+        for k in range(4):
+            dy, dx = k >> 1, k & 1
+            for r in range(R):
+                ker[1 - dy, 1 - dx, k * R + r, r] = 1.0
+        out = _lax.conv_general_dilated(
+            scratch, jnp.asarray(ker), window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.reshape(HW, R)
+
     def bwd_H(i, w4, g):
         # ONE 4N-row scatter with pre-shifted indices (no folds)
         rows = jnp.concatenate([i, i + 1, i + W, i + W + 1], axis=0)
@@ -174,10 +193,11 @@ def main():
     timeit("bwd F: 2-stage paired fold", bwd_F, i, w4, g)
     timeit("bwd G: 4x chained N-row scatters", bwd_G, i, w4, g)
     timeit("bwd H: one 4N-row scatter", bwd_H, i, w4, g)
+    timeit("bwd I: N-row scatter + 2x2 conv fold", bwd_I, i, w4, g)
     # consistency
     a = jax.jit(bwd_A)(i, w4, g)
     for nm, fn in (("B", bwd_B), ("C", bwd_C), ("E", bwd_E), ("F", bwd_F),
-                   ("G", bwd_G), ("H", bwd_H)):
+                   ("G", bwd_G), ("H", bwd_H), ("I", bwd_I)):
         b = jax.jit(fn)(i, w4, g)
         print(f"A vs {nm} max|d|: {float(jnp.abs(a - b).max()):.2e}")
 
