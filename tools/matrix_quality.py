@@ -38,6 +38,15 @@ TUNED = {("hash", "tensors"): {"lr": "2e-2", "iters": 4000},
          ("vm", "tensors"): {"lr": "2e-2", "iters": 4000},
          ("mlp", "tensors"): {"lr": "2e-2", "iters": 4000},
          ("tensors", "tensors"): {"lr": "2e-2", "iters": 4000}}
+# round-5 coarse-to-fine experiment (VERDICT r4 item 6): the plenoxel
+# volume starts at 64^3 and trilinear-upsamples through the VM log
+# schedule (Trainer._maybe_vm_resize tensors branch) so it fits the
+# teacher's low frequencies before committing per-voxel detail
+C2F = {("hash", "tensors"): {
+    "lr": "2e-2", "iters": 4000, "suffix": "_c2f",
+    "extra": ["--resolution0", "64", "--resolution1", "128",
+              "--upsample_model_steps", "800",
+              "--upsample_model_steps", "1600"]}}
 
 
 def find_best(ws_prefix):
@@ -150,9 +159,11 @@ def main():
     runs = [(t, s, None) for t, s in pairs]
     if args.tuned:
         runs += [(t, s, TUNED[(t, s)]) for t, s in pairs if (t, s) in TUNED]
+        runs += [(t, s, C2F[(t, s)]) for t, s in pairs if (t, s) in C2F]
 
     for tea, stu, tune in runs:
-        name = f"{tea}2{stu}" + ("_tuned" if tune else "")
+        name = f"{tea}2{stu}" + (tune.get("suffix", "_tuned") if tune
+                                 else "")
         ws = os.path.join(args.ws, name)
         iters = tune["iters"] if tune else args.distill_iters
         t0 = time.time()
@@ -166,7 +177,7 @@ def main():
                 "--eval_interval", "1000", "--ckpt", "scratch",
                 "--preload", "--scan_steps", "8"]
         if tune:
-            argv += ["--lr", tune["lr"]]
+            argv += ["--lr", tune["lr"]] + list(tune.get("extra", []))
         if tea == "hash":
             argv += ["--hash_cell_levels", "9"]
         try:
@@ -181,6 +192,7 @@ def main():
         }
         if tune:
             results["pairs"][name]["tuned"] = dict(tune)
+            results["pairs"][name]["cmd"] = " ".join(argv)
         print(f"[matrix] {name}: PSNR {stats.get('psnr')}")
         # checkpoint the sweep after every pair (resume-friendly artifact)
         _write(args.out, results)
