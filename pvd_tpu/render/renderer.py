@@ -35,6 +35,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from pvd_tpu.config import ModelSpec, RenderSpec
@@ -156,14 +157,16 @@ def compact_samples(mask, budget: int, prefix: bool = False) -> CompactInfo:
     return CompactInfo(idx=idx, valid=valid, ray_id=idx // S, total=total)
 
 
-def _t_lattice_ln(t0, rspec: RenderSpec):
+def _t_lattice_ln(t0, rspec: RenderSpec, length: Optional[int] = None):
     """Per-ray t-sequence in the scan's NATIVE [L, N] layout (dt_gamma>0).
 
     Emits ts only: dt = clip(t*dt_gamma, dt_min, dt_max) is the exact
     formula the recurrence applies to the same t, so _dt_from_t recomputes
     it BITWISE instead of the scan materializing a second [L, N] array.
+    `length` overrides max_steps (the MC probe march's span-bounded
+    lattice, _mc_lattice_len).
     """
-    L = rspec.max_steps
+    L = length or rspec.max_steps
     dt_min = 2.0 * SQRT3 / rspec.max_steps
     dt_max = 2.0 * SQRT3 * (2 ** (rspec.cascades - 1)) / rspec.grid_size
 
@@ -257,6 +260,24 @@ def _compact_first_k(mask, k: int):
     return jnp.minimum(pos, L - 1), vals > 0
 
 
+def _first_k_small(mask, k: int):
+    """First-k True positions per row for SMALL k: one cumsum + k
+    argmax/any reduces over [N, W].  lax.top_k on the same operand fully
+    sorts (traced 0.56 ms/step at [4096, 96] -> 4 on the cascade config);
+    this returns the same ascending positions for ~20x less.
+
+    mask: [N, W] bool. Returns (pos [N, k] i32, valid [N, k] bool);
+    invalid slots hold pos 0.
+    """
+    c = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    pos, valid = [], []
+    for j in range(1, k + 1):
+        hit = mask & (c == j)
+        pos.append(jnp.argmax(hit, axis=1).astype(jnp.int32))
+        valid.append(jnp.any(hit, axis=1))
+    return jnp.stack(pos, axis=1), jnp.stack(valid, axis=1)
+
+
 def _cell_coords(pos, rspec: RenderSpec):
     """Clamped integer cell coords [..., 3] (single-cascade formula)."""
     H = rspec.grid_size
@@ -315,11 +336,59 @@ def _probe_march_occ(neighbor_masks, rays_o, rays_d, t0, fars,
     return occ.reshape(N, L), ts.reshape(N, L)
 
 
-def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
+def _mc_window(rspec: RenderSpec) -> int:
+    """MC probe window width F: the largest odd F whose +-(F//2)-step
+    reach stays inside the +-MC_D-cell apron (see _probe_march_occ_mc's
+    window-width note) — 13 at dt_gamma=0, 11 at 1/256."""
+    g = max(rspec.dt_gamma, 0.0)
+    half = MC_D
+    while half > 0 and half * (1.0 + g) ** half > MC_D:
+        half -= 1
+    return 2 * half + 1
+
+
+def _mc_lattice_len(rspec: RenderSpec):
+    """Static (L_m, W) for the MC probe march: the smallest W*F lattice
+    (W a multiple of 8 for tiling) covering the worst-case in-box span.
+
+    dt grows along the ray (dt = clip(t*dt_gamma, dt_min, dt_max)), so a
+    ray needs the most lattice points when it starts at the smallest
+    possible t: march callers clamp near to rspec.min_near
+    (near_far_from_aabb), rays_d is unit-norm (ops/rays.py), and
+    far - near <= the AABB diagonal 2*bound*sqrt(3) (a chord of the
+    box), so the float32 recurrence from min_near bounds every ray's
+    live lattice length — points past it have t >= far for EVERY ray
+    and carry no samples.  At dt_gamma=1/256, bound=2, max_steps=1024
+    this cuts the lattice from 1024 to ~800 points (~20% off all
+    per-lattice-point march work).  dt_gamma == 0 keeps max_steps (the
+    fixed-dt lattice needs every step).
+    """
+    F = _mc_window(rspec)
+    L = rspec.max_steps
+    g = max(rspec.dt_gamma, 0.0)
+    if g > 0.0:
+        dt_min = np.float32(2.0 * SQRT3 / rspec.max_steps)
+        dt_max = np.float32(2.0 * SQRT3 * (2 ** (rspec.cascades - 1))
+                            / rspec.grid_size)
+        t = np.float32(rspec.min_near)
+        t_end = np.float32(t + np.float32(2.0 * rspec.bound * SQRT3))
+        n = 0
+        while t < t_end and n < rspec.max_steps:
+            t = np.float32(
+                t + np.clip(np.float32(t * np.float32(g)), dt_min, dt_max))
+            n += 1
+        L = min(n + 4, rspec.max_steps)  # +4: fp margin vs the device scan
+    W = -(-L // (8 * F)) * 8  # ceil(L / F) rounded up to a multiple of 8
+    return W * F, W
+
+
+def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, t0, fars,
                         rspec: RenderSpec):
-    """Occupancy [N, L] for multi-cascade and/or dt_gamma>0 lattices via
+    """Occupancy [N, L_m] for multi-cascade and/or dt_gamma>0 lattices via
     per-cascade supercell apron probes (occupancy.build_neighbor_masks_mc),
-    one mask-row gather per 7 lattice points.
+    one mask-row gather per F lattice points.  Builds its own span-bounded
+    t-lattice (_mc_lattice_len) and returns (occ [N, L_m] bool,
+    ts_ln [L_m, N] f32 in the scan-native k-major layout).
 
     Each window of 7 points probes at its middle point; a fine point is
     resolved from the probe supercell's 16^3-bit apron row when (a) its
@@ -340,40 +409,46 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     points (8.5 ms/step traced on the cascade config), while the
     supercell [C*(H/4)^3, 512B] table holds ~547M rows/s at 1 row per
     7 points: ~3x fewer rows, ~3.8x faster each.
+
+    Window width: the mip-select rule (raymarching.cu:44-56) puts dt in
+    [cell/2, cell) of the SELECTED mip (frexp semantics), and a window's
+    dts all share the probe's lvl_dt up to the (1+dt_gamma)^(F//2)
+    recurrence drift — so each step moves < 1 probe-mip cell per axis
+    and the largest odd F with (F//2)*(1+g)^(F//2) <= MC_D keeps
+    every same-mip point inside the probe's apron (floor-cell delta
+    <= ceil(distance) <= MC_D).  The one exception is a dt_max-CLAMPED
+    window (top mip at t >= dt_max/dt_gamma, where dt reaches
+    sqrt(3)*cell — r4's universal per-step bound): its points may leave
+    the apron, land in `unres`, and resolve through the exact per-point
+    override below (conservative past the Uw budget, never wrong).
+
+    Layout note (round-5 negative result, kept for the record): an SoA
+    [W, F, N] rewrite (N minor, tile-exact, no F->128 lane padding) made
+    the word-select where-chain 25x SLOWER (18.9 ms of loop fusions) —
+    the chain is only fast when the nw-word rows and the chain's select
+    lanes stay LANE-ALIGNED ([..., F_pad, nw] minor layouts), which XLA
+    lowers to in-register lane shuffles.  AoS [N, W, F] stays.
     """
-    N, L = ts.shape
+    N = rays_o.shape[0]
     H = rspec.grid_size
     C = rspec.cascades
     S = H // SUPER_G
-    # Window width: the mip-select rule (raymarching.cu:44-56) puts dt in
-    # [cell/2, cell) of the SELECTED mip (frexp semantics), and a window's
-    # dts all share the probe's lvl_dt up to the (1+dt_gamma)^(F//2)
-    # recurrence drift — so each step moves < 1 probe-mip cell per axis
-    # and the largest odd F with (F//2)*(1+g)^(F//2) <= MC_D keeps
-    # every same-mip point inside the probe's apron (floor-cell delta
-    # <= ceil(distance) <= MC_D).  The one exception is a dt_max-CLAMPED
-    # window (top mip at t >= dt_max/dt_gamma, where dt reaches
-    # sqrt(3)*cell — r4's universal per-step bound): its points may leave
-    # the apron, land in `unres`, and resolve through the exact per-point
-    # override below (conservative past the Uw budget, never wrong).
-    # r4 used F = 2*int(MC_D/sqrt(3))+1 = 7 everywhere; the tighter
-    # bound nearly halves the probe-row gather (the march's top cost).
     g = max(rspec.dt_gamma, 0.0)
-    half = MC_D
-    while half > 0 and half * (1.0 + g) ** half > MC_D:
-        half -= 1
-    F = 2 * half + 1  # 13 at dt_gamma=0, 11 at 1/256
-    # W padded to a multiple of 8: the extraction where-chain falls off
-    # a tiling cliff otherwise (187 ms vs 2 ms measured at 147 vs 152)
-    W = -(-(-(-L // F)) // 8) * 8  # ceil(ceil(L/F) / 8) * 8
-    pad = W * F - L
-    if pad:
-        # padded points sit past every ray's far clip -> dead below
-        big = jnp.float32(3.0e38)
-        ts = jnp.concatenate(
-            [ts, jnp.full((N, pad), big, ts.dtype)], axis=1)
-        dts = jnp.concatenate(
-            [dts, jnp.full((N, pad), 1.0, dts.dtype)], axis=1)
+    F = _mc_window(rspec)
+    L_m, W = _mc_lattice_len(rspec)
+    dt_min = 2.0 * SQRT3 / rspec.max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (C - 1)) / H
+
+    # the lattice is generated at exactly W*F points (no sentinel pad —
+    # _mc_lattice_len guarantees t(L_m) >= far for every ray)
+    if g == 0.0:
+        k_ln = jnp.arange(L_m, dtype=jnp.float32)
+        ts_ln = t0[None, :] + k_ln[:, None] * dt_min
+        ts = t0[:, None] + k_ln[None, :] * dt_min  # no transpose
+    else:
+        ts_ln = _t_lattice_ln(t0, rspec, length=L_m)
+        ts = ts_ln.T  # [N, L_m]
+    dts = _dt_from_t(ts, jnp.bool_(True), rspec)
 
     def levels(pos, dt):
         if C == 1:
@@ -399,6 +474,11 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     sc_p = cell_p >> 2  # supercell of the probe cell
     row = (sc_p[..., 0] * S + sc_p[..., 1]) * S + sc_p[..., 2] \
         + lvl_p * (S * S * S)
+    # NOTE: the [N*W, nw] -> [N, W, nw] reshape of the gather output
+    # materializes a 0.45 ms copy even at tile-exact shapes, but keeping
+    # masks flat and running the chain on merged-major [N*W, F] operands
+    # was traced 4x WORSE overall (42 ms/step): XLA's fast lane-shuffle
+    # lowering of the where-chain pattern-matches the 3-D AoS form only.
     masks = jnp.take(neighbor_masks, row.reshape(-1), axis=0,
                      mode="clip").reshape(N, W, neighbor_masks.shape[-1])
 
@@ -438,23 +518,38 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     # neighborhood and could DROP a sample at a dyadic |pos| boundary.
     Uw = 4
     live = ts_f < fars[:, None, None]
+    if L_m > rspec.max_steps:
+        # reference parity: never march past max_steps lattice positions
+        # (raymarching.cu caps steps); only reachable when ceil-rounding
+        # W*F past max_steps (dt_gamma == 0 multi-cascade).  Masked into
+        # `live` so dead beyond-cap points can't eat the override budget.
+        k_i = jnp.arange(L_m, dtype=jnp.int32).reshape(1, W, F)
+        live = live & (k_i < rspec.max_steps)
     unres = (~resolved) & live
     unres_w = jnp.any(unres, axis=-1)  # [N, W]
-    pos_w, valid_w = _compact_first_k(unres_w, Uw)  # [N, Uw] window idx
-    # the override's t values are exactly WINDOW-ALIGNED rows of the
-    # lattice: ts viewed as [N*W, F] holds window w of ray n at row
-    # n*W + w, so ONE gather of N*Uw F-float rows replaces the r4
-    # per-point flat gather of N*Uw*F 4B rows (4B rows run at ~140M
-    # rows/s — traced 0.84 ms/step on the cascade config; this is
-    # ~16K 44B rows, noise).  dt is the exact closed form of t on the
-    # lattice (_dt_from_t).  For the padded tail (t=3e38, stored
-    # dt=1.0) the recomputed dt_max differs from the stored value, but
-    # those points sit past every far clip AND past index L, so their
-    # override bits are discarded by the final [:, :L] slice either way.
-    rows_u = (jnp.arange(N, dtype=jnp.int32)[:, None] * W
-              + pos_w).reshape(-1)  # [N*Uw]
-    t_u = jnp.take(ts.reshape(N * W, F), rows_u, axis=0,
-                   mode="clip").reshape(N, Uw * F)
+    pos_w, valid_w = _first_k_small(unres_w, Uw)  # [N, Uw] window idx
+    # the override's t values REPLAY the lattice recurrence from the
+    # gathered window-start t — bitwise identical to the scan (the same
+    # clip/add ops in the same order), at one N*Uw 4B-row gather instead
+    # of the r4 N*Uw F-float WINDOW-row gather whose [N*W, F] source
+    # view cost a 17 MB relayout copy (traced 0.67 ms/step on the
+    # cascade config).  dt_gamma == 0 uses the lattice's own closed form
+    # (t0 + k*dt_min with k exact in f32) — also bitwise.
+    if g == 0.0:
+        k_u = ((pos_w * F)[:, :, None]
+               + jnp.arange(F, dtype=jnp.int32)[None, None, :]
+               ).astype(jnp.float32)
+        t_u = (t0[:, None, None] + k_u * dt_min).reshape(N, Uw * F)
+    else:
+        start = (pos_w * (F * N)
+                 + jnp.arange(N, dtype=jnp.int32)[:, None])  # k*N + n
+        t_cur = jnp.take(ts_ln.reshape(-1), start.reshape(-1),
+                         mode="clip").reshape(N, Uw)
+        parts = [t_cur]
+        for _ in range(F - 1):
+            t_cur = t_cur + jnp.clip(t_cur * rspec.dt_gamma, dt_min, dt_max)
+            parts.append(t_cur)
+        t_u = jnp.stack(parts, axis=-1).reshape(N, Uw * F)
     dt_u = _dt_from_t(t_u, jnp.bool_(True), rspec)
     p_u = jnp.clip(rays_o[:, None, :] + t_u[..., None] * rays_d[:, None, :],
                    -rspec.bound, rspec.bound)
@@ -465,14 +560,22 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     sc_u = n_u >> 2
     row_u = (sc_u[..., 0] * S + sc_u[..., 1]) * S + sc_u[..., 2] \
         + lvl_u * (S * S * S)
-    m_u = jnp.take(neighbor_masks, row_u.reshape(-1), axis=0,
-                   mode="clip").reshape(N, Uw * F, -1)
+    # pad the gather to a multiple-of-8 column count: reshaping a
+    # [N*44, nw] gather output to [N, 44, nw] pads 44 sublanes to 48 —
+    # a 92 MB relayout copy (traced 0.59 ms); gathering 4 extra sentinel
+    # rows per ray instead makes the reshape a free major-dim split
+    UFp = -(-(Uw * F) // 8) * 8
+    row_u_p = jnp.pad(row_u, ((0, 0), (0, UFp - Uw * F)),
+                      constant_values=neighbor_masks.shape[0] - 1)
+    m_u = jnp.take(neighbor_masks, row_u_p.reshape(-1), axis=0,
+                   mode="clip").reshape(N, UFp, -1)
     # the point's OWN cell bit in its own supercell row: offset
     # (n_u & 3) + D per axis (varies per point, unlike the old
-    # fixed-center per-cell layout)
-    off_u = (n_u & 3) + MC_D
+    # fixed-center per-cell layout); the chain runs on the padded
+    # column count and only the final (cheap bool) bits are sliced
+    off_u = jnp.pad((n_u & 3) + MC_D, ((0, 0), (0, UFp - Uw * F), (0, 0)))
     b_u = (_super_mask_bit(m_u, off_u[:, :, None, :],
-                           side=MC_SIDE)[..., 0]
+                           side=MC_SIDE)[..., 0][:, :Uw * F]
            & valid_w.repeat(F, axis=1)).reshape(N, Uw, F)
     at_w = (jnp.arange(W, dtype=jnp.int32)[None, :, None]
             == pos_w[:, None, :]) & valid_w[:, None, :]  # [N, W, Uw]
@@ -483,7 +586,7 @@ def _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts, fars,
     occ = jnp.where(resolved, occ_bit,
                     jnp.where(override_w[..., None], override_bit, True))
     occ = occ & live
-    return occ.reshape(N, W * F)[:, :L]
+    return occ.reshape(N, L_m), ts_ln
 
 
 def march_rays(
@@ -539,19 +642,12 @@ def march_rays(
         dts = jnp.full_like(ts, dt_min)
         lattice_valid = None
     elif use_probe_mc:
-        # scan-native [L, N] kept around so lazy_t can gather t at the
+        # the MC march builds its own span-bounded lattice and returns
+        # the scan-native ts_ln [L_m, N] so lazy_t can gather t at the
         # compacted slots from a FREE flatten (k*N + n) instead of the
         # [N, L]-lane quad repack the eager t_out pays below
-        if rspec.dt_gamma == 0.0:
-            k_ln = jnp.arange(L, dtype=jnp.float32)
-            ts_ln = t0[None, :] + k_ln[:, None] * dt_min
-            ts = t0[:, None] + k_ln[None, :] * dt_min  # no transpose
-        else:
-            ts_ln = _t_lattice_ln(t0, rspec)
-            ts = ts_ln.T  # [N, L]
-        dts = _dt_from_t(ts, jnp.bool_(True), rspec)
-        occ = _probe_march_occ_mc(neighbor_masks, rays_o, rays_d, ts, dts,
-                                  fars, rspec)
+        occ, ts_ln = _probe_march_occ_mc(neighbor_masks, rays_o, rays_d,
+                                         t0, fars, rspec)
         lattice_valid = None
     elif use_coarse:
         F = rspec.coarse_stride
@@ -619,6 +715,7 @@ def march_rays(
         # lane k%4.  dt is an exact function of t on the _t_lattice
         # (dt = clip(t*dt_gamma, dt_min, dt_max), see _t_lattice's scan)
         # so it is recomputed instead of gathered.
+        ts = ts_ln.T  # eager (non-lazy) callers only pay this transpose
         L_ts = ts.shape[1]
         L4 = -(-L_ts // 4) * 4
         ts4 = jnp.pad(ts, ((0, 0), (0, L4 - L_ts))) if L4 != L_ts else ts

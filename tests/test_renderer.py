@@ -445,13 +445,21 @@ def test_probe_mc_march_is_conservative_superset():
                        & (ts < fars[:, None]))
 
     masks = build_neighbor_masks_mc(bitfield, H)
-    probe = np.asarray(_probe_march_occ_mc(masks, oj, dj, ts, dts, fars,
-                                           rspec))
+    probe_nl, _ = _probe_march_occ_mc(masks, oj, dj, t0, fars, rspec)
+    probe = np.asarray(probe_nl)  # [N, L_m] (span-bounded lattice)
+    # align: the probe's own lattice may be shorter or slightly longer
+    # (W*F rounding) than max_steps; its points past max_steps are dead
+    L_m, L = probe.shape[1], exact.shape[1]
+    exact_pad = np.zeros((exact.shape[0], max(L_m, L)), bool)
+    exact_pad[:, :L] = exact
+    probe_pad = np.zeros_like(exact_pad)
+    probe_pad[:, :L_m] = probe
+    assert not exact_pad[:, L_m:].any()  # span bound really covers far
     # superset: the probe never drops an exact sample
-    assert (exact & ~probe).sum() == 0
+    assert (exact_pad & ~probe_pad).sum() == 0
     # exact up to the cross-mip override budget -> no extras at all here
-    extra = (probe & ~exact).sum()
-    assert extra == 0, (extra, exact.sum())
+    extra = (probe_pad & ~exact_pad).sum()
+    assert extra == 0, (extra, exact_pad.sum())
 
 
 def test_probe_mc_extra_rate_on_converged_grid():
@@ -492,8 +500,14 @@ def test_probe_mc_extra_rate_on_converged_grid():
     exact = np.asarray(_occupancy_lookup(bitfield, pos, dts, rspec)
                        & (ts < fars[:, None]))
     masks = build_neighbor_masks_mc(bitfield, H)
-    probe = np.asarray(_probe_march_occ_mc(masks, oj, dj, ts, dts, fars,
-                                           rspec))
+    probe_nl, _ = _probe_march_occ_mc(masks, oj, dj, nears, fars, rspec)
+    probe = np.asarray(probe_nl)
+    L_m, L = probe.shape[1], exact.shape[1]
+    exact_pad = np.zeros((exact.shape[0], max(L_m, L)), bool)
+    exact_pad[:, :L] = exact
+    probe_pad = np.zeros_like(exact_pad)
+    probe_pad[:, :L_m] = probe
+    exact, probe = exact_pad, probe_pad
     assert (exact & ~probe).sum() == 0  # still a superset
     emitted = probe.sum()
     extra = (probe & ~exact).sum()
