@@ -130,6 +130,12 @@ def main():
             results[f"distill_{k}"] = stats[k]
     results["schedule"] = "full" if (tea_iters >= 40000
                                      and dis_iters >= 30000) else "half"
+    results["scale"] = ("800x800, procedural fixture "
+                        "(100 train / 10 test views)")
+    results["hardware"] = "1x TPU v5e via axon tunnel"
+    results["reference_schedule"] = ("teacher main_just_train_tea.py:25 = "
+                                     "40k iters; distill "
+                                     "main_distill_mutual.py:53 = 30k")
     print(f"[ref] distill PSNR {stats.get('psnr')} "
           f"in {results['distill_wall_s']}s")
 
