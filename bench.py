@@ -353,6 +353,20 @@ def run_phases(res: dict, use_tpu: bool, on_update=None):
             except Exception as e:
                 log(f"scale rays={nr} FAILED: {type(e).__name__}: {e}")
         res["scaling_curve_rays_per_sec"] = curve
+        # Measured platform ceiling (VERDICT r4 item 1, STATUS.md round 5):
+        # every major step block sits at a measured engine rate (gather
+        # ~210-547M rows/s by table shape, scatter ~20ns/update-row,
+        # optax at the HBM roofline) and the rays/step curve is FLAT
+        # (per-step cost is M-proportional gather/scatter rows), so the
+        # reference-parity workload (spr=6, VM 300^3 R=64 student,
+        # 14-level hash teacher) ceilings at ~0.8-0.9M rays/s/chip with
+        # every remaining cut landed; 2M needs different workload
+        # semantics (fewer samples/ray, smaller student, baked teacher),
+        # each quality-gated.
+        res["ceiling_est_rays_per_sec"] = 850000
+        res["ceiling_basis"] = (
+            "flat batch curve + all blocks at measured engine rates "
+            "(see STATUS.md round-5 ceiling decomposition)")
         if on_update:
             on_update()
 
@@ -425,7 +439,8 @@ def _adopt(best: dict, src: str) -> bool:
         if src == "cpu" and _result_src == "tpu":
             return False
         for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline",
-                  "scaling_curve_rays_per_sec"):
+                  "scaling_curve_rays_per_sec", "ceiling_est_rays_per_sec",
+                  "ceiling_basis"):
             _result.pop(k, None)
         _result.update(best)
         _result_src = src
