@@ -230,6 +230,73 @@ def bench_config(label, cfg, iters, scan_steps=0, bake=False):
     return metric, rays_per_sec
 
 
+def bench_teacher(label, iters, scan_steps=8):
+    """Teacher-class step throughput (hash GT training, 8192 rays/step,
+    S_max=96, budget 24/ray — the reference schedule's teacher shape as
+    settled by autotune in the 800x800 ref-scale run).  Gives the
+    end-to-end teacher rays/s (REF_SCALE_r05) a same-class bench
+    denominator: the teacher marches real occupancy at ~4x the distill
+    headline's per-ray sample budget, so its class is inherently
+    heavier (reference: main_just_train_tea.py 8192 rays, full march).
+    Returns rays/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvd_tpu.config import ModelSpec, PVDConfig
+    from pvd_tpu.data.poses import pose_spherical
+    from pvd_tpu.engine.optim import build_optimizer, cosine_schedule
+    from pvd_tpu.engine.train_steps import TrainState, make_teacher_step
+    from pvd_tpu.models import init_field
+    from pvd_tpu.models.api import param_group_label, trainable_label
+    from pvd_tpu.ops.rays import nerf_matrix_to_ngp
+    from pvd_tpu.render import init_occupancy_state
+    from pvd_tpu.render.occupancy import set_bitfield
+
+    H = W = 800
+    cfg = PVDConfig(num_rays=8192, grid_size=128, max_steps=1024,
+                    resolution0=300, max_samples=96, samples_per_ray=24.0,
+                    autotune_budget=False)
+    rspec = cfg.render_spec()
+    spec = ModelSpec(model_type="hash", compute_dtype="bfloat16",
+                     hash_cell_levels=9)
+    params = init_field(jax.random.PRNGKey(0), spec)
+    occ = set_bitfield(
+        init_occupancy_state(rspec),
+        jnp.asarray(cascaded_bitfield(rspec.grid_size, rspec.cascades)))
+    opt = build_optimizer(
+        params, label_fn=param_group_label(spec),
+        trainable_fn=trainable_label(spec, ""),
+        schedule_main=cosine_schedule(1e-2, 40000),
+        schedule_lr2=cosine_schedule(1e-3, 40000))
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       occ=occ, step=jnp.int32(0))
+    step_fn = make_teacher_step(
+        spec, rspec, opt, cfg, intrinsics=(1111.0, 1111.0, W / 2, H / 2),
+        H=H, W=W, image_channels=3, scan_steps=scan_steps)
+    pose = jnp.asarray(nerf_matrix_to_ngp(pose_spherical(30.0, -30.0, 4.0),
+                                          scale=0.8))
+    poses = jnp.tile(pose[None], (scan_steps, 1, 1))
+    images = jnp.tile(
+        jnp.linspace(0.0, 1.0, H * W, dtype=jnp.float32)[None, :, None],
+        (1, 1, 3))
+    idxs = jnp.zeros((scan_steps,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    log(f"{label}: built, dispatching warmup (compile happens here)")
+    state, logs = step_fn(state, images, idxs, poses, key)
+    float(jnp.sum(logs["loss"]))
+    state, logs = step_fn(state, images, idxs, poses, key)
+    float(jnp.sum(logs["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step_fn(state, images, idxs, poses, key)
+    float(jnp.sum(logs["loss"]))
+    dt = time.perf_counter() - t0
+    rps = cfg.num_rays * scan_steps * iters / dt
+    log(f"{label}: {rps:,.0f} rays/s ({iters} iters in {dt:.2f}s)")
+    return rps
+
+
 def run_phases(res: dict, use_tpu: bool, on_update=None):
     """Measure phases 1-5 into `res` (best-result-so-far dict), invoking
     on_update() after every improvement so a supervising parent always
@@ -370,6 +437,17 @@ def run_phases(res: dict, use_tpu: bool, on_update=None):
         if on_update:
             on_update()
 
+    # Phase 7 (auxiliary): teacher-class throughput — the e2e denominator
+    # for REF_SCALE's teacher phase (VERDICT r4 item 2).
+    try:
+        rps_t = bench_teacher("teacher(8192 rays,S=96,spr=24,scan=8)",
+                              iters=max(it4 // 2, 1))
+        res["teacher_rays_per_sec"] = round(rps_t, 1)
+        if on_update:
+            on_update()
+    except Exception as e:
+        log(f"teacher config FAILED: {type(e).__name__}: {e}")
+
 
 def _setup_cache(jax, use_tpu: bool):
     """Persistent compile cache: repeat runs (and the driver run after this
@@ -440,7 +518,7 @@ def _adopt(best: dict, src: str) -> bool:
             return False
         for k in ("degraded", "cascade_rays_per_sec", "cascade_vs_headline",
                   "scaling_curve_rays_per_sec", "ceiling_est_rays_per_sec",
-                  "ceiling_basis"):
+                  "ceiling_basis", "teacher_rays_per_sec"):
             _result.pop(k, None)
         _result.update(best)
         _result_src = src
